@@ -1,0 +1,76 @@
+"""Headline benchmark: 1280x720 interpolation throughput (frames/sec/chip).
+
+The benchmark task mirrors the reference's inference hot loop
+(infer_ours.py:81-142): one blurry 720p frame + its 16-bin event stack ->
+NumI=16 sharp latent frames.  Throughput counts OUTPUT frames per second.
+Our engine computes the T-independent trunk once and scans the tail over
+timestamps (identical outputs to per-T full forwards; see
+ebfi_tpu/infer/engine.py).
+
+Baseline: the reference repo publishes no numbers (BASELINE.md).  The
+comparison constant below is an analytic estimate of the reference's
+PyTorch fp32 per-frame full forward on A100 (per-timestamp recompute of
+the whole network + the in-forward GPU->CPU cv2 blurriness round-trip,
+myutils/utils.py:34-49): ~20 output frames/sec.  vs_baseline = value / 20.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_A100_FPS_ESTIMATE = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+
+    from ebfi_tpu.models import EVFIAutoEx
+    from ebfi_tpu.infer import InferenceEngine
+
+    model = EVFIAutoEx(
+        frame_basech=64, event_basech=64, inter_ch=64, tb=16,
+        blurry_fashion="RGBLap", bl_in=4, step=12, dual_path=True,
+        residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
+    )
+    rng = np.random.default_rng(0)
+    B, H, W, TB, NUM_I = 1, 720, 1280, 16, 16
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(
+        np.abs(rng.standard_normal((B, H, W, 2 * TB))).astype(np.float32)
+    )
+    ts = jnp.asarray(np.linspace(0, 1, NUM_I, dtype=np.float32)[None].repeat(B, 0))
+    params = model.init(
+        jax.random.key(0), frame[:, :64, :64], event[:, :64, :64], ts[:, :1]
+    )
+    engine = InferenceEngine(model, params)
+
+    # warmup / compile
+    out = engine.interpolate(frame, event, ts)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine.interpolate(frame, event, ts)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    fps = NUM_I * B / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "interp_frames_per_sec_720p_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REF_A100_FPS_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""Input pipeline: datalist -> sharded, shuffled, prefetched device batches.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(dataloader/h5dataloader.py): datasets from a datalist txt are concatenated
+(h5dataloader.py:21-35), items are sharded per process/replica
+(DistributedSampler ≡ rank-interleaved index slicing, h5dataloader.py:47-57),
+and a background thread pool assembles host batches while the device
+computes; `device_prefetch` keeps N batches in flight on the accelerator
+(the HBM-resident double-buffering the torch pin_memory/num_workers pair
+approximated).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .h5dataset import H5ClipDataset, H5ClipDatasetReal
+
+
+def read_datalist(path: str) -> List[str]:
+    """One H5 path per line (pandas-free equivalent of infer_ours.py:369)."""
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class EBFIDataLoader:
+    """Epoch-based loader over concatenated H5 clip datasets.
+
+    Args:
+      sources: datalist txt path, a single .h5 path, or a list of .h5 paths.
+      dataset_config: per-dataset config dict (see H5ClipDataset).
+      batch_size, shuffle, drop_last: usual semantics.
+      shard_index/num_shards: per-process data sharding (DistributedSampler
+        equivalent); every shard sees a disjoint interleaved slice of the
+        epoch permutation.
+      real_data: use the RealBlur reader.
+      seed: shuffle base seed; combined with the epoch like
+        `sampler.set_epoch` (train_ours.py:219).
+    """
+
+    def __init__(
+        self,
+        sources,
+        dataset_config: dict,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        real_data: bool = False,
+        seed: int = 0,
+        num_threads: int = 2,
+    ):
+        if isinstance(sources, str):
+            paths = [sources] if sources.endswith(".h5") else read_datalist(sources)
+        else:
+            paths = list(sources)
+        cls = H5ClipDatasetReal if real_data else H5ClipDataset
+        self.datasets = [cls(p, dataset_config) for p in paths]
+        self.index = [
+            (di, ii) for di, ds in enumerate(self.datasets) for ii in range(len(ds))
+        ]
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.seed = seed
+        self.epoch = 0
+        self.num_threads = num_threads
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _shard_order(self) -> List[int]:
+        order = list(range(len(self.index)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        return order[self.shard_index :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._shard_order())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _fetch(self, flat_idx: int) -> Dict[str, np.ndarray]:
+        di, ii = self.index[flat_idx]
+        return self.datasets[di].get(ii)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._shard_order()
+        nb = len(self)
+        batches = [
+            order[b * self.batch_size : (b + 1) * self.batch_size] for b in range(nb)
+        ]
+        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+            futures = [
+                [pool.submit(self._fetch, i) for i in batch] for batch in batches
+            ]
+            for fb in futures:
+                yield collate([f.result() for f in fb])
+
+
+def device_prefetch(iterator, n_prefetch: int = 2, sharding=None):
+    """Move host batches to device ahead of consumption.
+
+    With `sharding` (a jax.sharding.Sharding) batches land already laid out
+    for the data-parallel mesh — the jnp conversion becomes the host->HBM
+    transfer that overlaps the previous step's compute.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(n_prefetch):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -1,0 +1,36 @@
+"""Modification: event-to-frame feature transfer via filter-adaptive conv.
+
+Reference: models/Ours/model_singleframe.py:139-165 — align event features
+to frame width with a 1x1 conv, predict a per-pixel K^2*C kernel bank from
+the concatenated features, apply it with the FAC op (K=5), then gated
+residual fuse: ``Frame * E1 + Conv(E1)``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import kernel_conv2d
+from .layers import ConvLayer
+
+
+class Modification(nn.Module):
+    frame_basech: int = 64
+    kernel_size: int = 5
+    norm: Optional[str] = None
+    activation: str = "LeakyReLU"
+
+    @nn.compact
+    def __call__(self, frame_feat: jax.Array, event_feat: jax.Array) -> jax.Array:
+        """frame_feat: (B,H,W,C1); event_feat: (B,H,W,C2) -> (B,H,W,C1)."""
+        C1, K = self.frame_basech, self.kernel_size
+        ev = ConvLayer(C1, 1, 1, 0, self.activation, self.norm, name="conv1")(event_feat)
+        kern = ConvLayer(C1 * K * K, 3, 1, 1, self.activation, self.norm, name="kernel_conv")(
+            jnp.concatenate([ev, frame_feat], axis=-1)
+        )
+        e1 = kernel_conv2d(ev, kern, K)
+        e1 = ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv3")(e1)
+        return frame_feat * e1 + ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv2")(e1)

@@ -21,6 +21,7 @@ from .image_ops import (
     pixel_shuffle,
     replication_pad_2d,
     reflection_pad_2d,
+    pad_amounts_to_multiple,
     zero_pad_to_multiple,
     center_crop,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "pixel_shuffle",
     "replication_pad_2d",
     "reflection_pad_2d",
+    "pad_amounts_to_multiple",
     "zero_pad_to_multiple",
     "center_crop",
 ]

@@ -1,0 +1,51 @@
+"""Mesh construction and data-parallel shardings.
+
+The reference's distributed story is one-process-per-GPU DDP over NCCL with
+bucketed gradient all-reduce (SURVEY.md §2.10; train_ours.py:63-84,754).
+The TPU-native equivalent: one process per host, a `jax.sharding.Mesh` over
+all chips, params replicated / batch sharded on the ``data`` axis, and
+XLA inserting the gradient all-reduce over ICI inside the jitted train step.
+`jax.distributed.initialize` extends the same program to multi-host
+(ICI within a slice, DCN across slices) without code changes.
+
+A second mesh axis (``model``) is reserved for spatial/tensor sharding of
+the 720p activations; conv layers shard cleanly on H with halo exchange
+handled by XLA.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    data_axis: str = "data",
+    model_axis: str = "model",
+) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if model_parallel > 1:
+        if n % model_parallel:
+            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        grid = devices.reshape(n // model_parallel, model_parallel)
+        return Mesh(grid, (data_axis, model_axis))
+    return Mesh(devices.reshape(n, 1), (data_axis, model_axis))
+
+
+def dp_shardings(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding]:
+    """(batch_sharding, replicated): batch split on its leading axis over
+    ``data``; params/state replicated."""
+    return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
+
+
+def local_shard_info(mesh: Mesh) -> Tuple[int, int]:
+    """(shard_index, num_shards) for the host data pipeline: one shard per
+    process (multi-host) — the in-process mesh axis is fed by a single
+    host-side loader whose batches jax lays out across local devices."""
+    return jax.process_index(), jax.process_count()

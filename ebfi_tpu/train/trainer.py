@@ -1,0 +1,240 @@
+"""Trainer: iteration/epoch training loops, validation, early-stop,
+checkpoint cadence, logging.
+
+Mirrors the reference Trainer's control surface (train_ours.py:87-435):
+iteration-based mode with `train_log_step`/`valid_step`/`save_period`
+cadences, `min|max <metric>` monitor with `early_stop` patience, lr-min
+gating (in the schedule), per-window flattening of the (L, NumI) loops into
+per-timestamp training iterations, and gradient accumulation (inside
+optax.MultiSteps).  Epoch-based mode iterates full epochs with the same
+machinery (the reference's epoch path is vestigial/dead code —
+SURVEY.md §7 quirks — but the capability is kept).
+
+TPU specifics: one jitted train step serves all iterations (the loss phase
+switch is data-dependent, not trace-dependent); host->device transfer is
+overlapped via `device_prefetch`; metrics come back as device scalars and
+are only synced at logging boundaries.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.dataloader import device_prefetch
+from ..utils.metrics import MetricTracker
+from .checkpoint import save_checkpoint
+from .train_step import TrainState
+
+
+class Trainer:
+    def __init__(
+        self,
+        config_parser,
+        model,
+        state: TrainState,
+        train_step,
+        eval_step,
+        train_loader,
+        valid_loader=None,
+        writer=None,
+        batch_sharding=None,
+        model_name: str = "EVFIAutoEx",
+        use_gt_ex: bool = True,
+    ):
+        self.cp = config_parser
+        self.model = model
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.writer = writer
+        self.batch_sharding = batch_sharding
+        self.model_name = model_name
+        self.use_gt_ex = use_gt_ex
+        self.logger = logging.getLogger("trainer")
+
+        tcfg = self.cp["trainer"]
+        if tcfg.get("iteration_based_train", {}).get("enabled"):
+            self.mode = "iteration_based_train"
+        elif tcfg.get("epoch_based_train", {}).get("enabled"):
+            self.mode = "epoch_based_train"
+        else:
+            raise ValueError("Incorrect training config!")
+        mcfg = tcfg[self.mode]
+        self.iterations = int(float(mcfg.get("iterations", 0)))
+        self.epochs = int(mcfg.get("epochs", 0))
+        self.save_period = int(mcfg.get("save_period", 1000))
+        self.train_log_step = int(mcfg.get("train_log_step", 50))
+        self.valid_step = int(mcfg.get("valid_step", 5000))
+        self.do_validation = tcfg.get("do_validation", True) and valid_loader is not None
+
+        monitor = tcfg.get("monitor", "off")
+        if monitor == "off":
+            self.mnt_mode = "off"
+            self.mnt_best = 0.0
+        else:
+            self.mnt_mode, self.mnt_metric = monitor.split()
+            assert self.mnt_mode in ("min", "max")
+            self.mnt_best = math.inf if self.mnt_mode == "min" else -math.inf
+        self.early_stop = int(tcfg.get("early_stop", 10))
+        self.not_improved = 0
+
+        self.train_metrics = MetricTracker(["train_loss"])
+        self.valid_metrics = MetricTracker(["valid_loss"])
+
+    # -------------------------------------------------------------- #
+
+    def _batches_from_window(self, window: Dict[str, np.ndarray]):
+        """Flatten a loaded window into per-timestamp training batches
+        (train_ours.py:226-256).  Expects NumP == 1."""
+        blurry = window["blurry"]        # (B, L, NumP, H, W, 3)
+        events = window["events"]        # (B, L, H, W, 2TB)
+        rel_ts = window["relative_ts"]   # (B, L, NumP, NumI)
+        exposure = window["exposure"]    # (B, L, NumP, 1)
+        latent = window.get("latent")    # (B, L, NumP, NumF, H, W, 3) or None
+        L = blurry.shape[1]
+        num_p = blurry.shape[2]
+        if num_p != 1:
+            raise ValueError("training consumes NumPeriodPerLoad == 1 windows")
+        num_i = rel_ts.shape[-1]
+        for idx_l in range(L):
+            for i in range(num_i):
+                batch = {
+                    "frame": blurry[:, idx_l, 0],
+                    "event": events[:, idx_l],
+                    "t": rel_ts[:, idx_l, 0, [i]],
+                    "target": latent[:, idx_l, 0, i] if latent is not None else None,
+                }
+                if self.use_gt_ex:
+                    batch["gt_ex"] = exposure[:, idx_l, 0]
+                yield {k: v for k, v in batch.items() if v is not None}
+
+    def _put(self, batch):
+        if self.batch_sharding is not None:
+            return {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+        return batch
+
+    # -------------------------------------------------------------- #
+
+    def train(self):
+        if self.mode == "iteration_based_train":
+            self.iteration_based_training()
+        else:
+            self.epoch_based_training()
+
+    def iteration_based_training(self):
+        it = int(self.state.step)
+        epoch = 0
+        stop = False
+        while not stop:
+            self.train_loader.set_epoch(epoch)
+            for window in device_prefetch(iter(self.train_loader), n_prefetch=2):
+                for batch in self._batches_from_window(window):
+                    self.state, metrics = self.train_step(self.state, self._put(batch))
+                    it = int(self.state.step)
+                    stop = self._post_step(it, metrics)
+                    if stop or it >= self.iterations:
+                        stop = True
+                        break
+                if stop:
+                    break
+            epoch += 1
+        self.logger.info("Training completes!" if it >= self.iterations else "Early stop.")
+
+    def epoch_based_training(self):
+        for epoch in range(1, self.epochs + 1):
+            self.train_loader.set_epoch(epoch)
+            for window in device_prefetch(iter(self.train_loader), n_prefetch=2):
+                for batch in self._batches_from_window(window):
+                    self.state, metrics = self.train_step(self.state, self._put(batch))
+                    self._log(int(self.state.step), metrics)
+            val = self._valid() if self.do_validation else {}
+            stop, best = self._eval_performance(val)
+            self._save(int(self.state.step), best=best, tag=f"checkpoint-epoch{epoch}")
+            if stop:
+                break
+
+    # -------------------------------------------------------------- #
+
+    def _post_step(self, it: int, metrics) -> bool:
+        """Logging / validation / checkpoint cadence after an iteration
+        (train_ours.py:278-347).  Returns stop_training."""
+        self._log(it, metrics)
+        stop = False
+        if self.do_validation and it % self.valid_step == 0 and it != 0:
+            val = self._valid()
+            for k, v in val.items():
+                self.logger.info(f"    {k:25s}: {v}")
+                if self.writer is not None:
+                    self.writer.add_scalar(f"stamp_{k}", v, it)
+            stop, best = self._eval_performance(val)
+            if best:
+                self._save(it, best=True)
+        if it % self.save_period == 0 and it != 0:
+            self._save(it)
+        return stop
+
+    def _log(self, it: int, metrics):
+        if it % self.train_log_step == 0:
+            loss = float(metrics["train_loss"])
+            self.train_metrics.update("train_loss", loss)
+            if self.writer is not None:
+                self.writer.add_scalar("train_loss", loss, it)
+            self.logger.info(f"Iteration: {it}/{self.iterations} train_loss: {loss:.4e}")
+
+    def _valid(self) -> Dict[str, float]:
+        self.valid_metrics.reset()
+        for window in device_prefetch(iter(self.valid_loader), n_prefetch=2):
+            for batch in self._batches_from_window(window):
+                m = self.eval_step(self.state.params, self._put(batch))
+                self.valid_metrics.update("valid_loss", float(m["valid_loss"]))
+        return self.valid_metrics.result()
+
+    def _eval_performance(self, val_log: Dict[str, float]):
+        """Monitor + early stop (train_ours.py:392-435)."""
+        if self.mnt_mode == "off" or not val_log:
+            return False, False
+        value = val_log[self.mnt_metric]
+        improved = value <= self.mnt_best if self.mnt_mode == "min" else value >= self.mnt_best
+        if improved:
+            self.mnt_best = value
+            self.not_improved = 0
+            return False, True
+        self.not_improved += 1
+        if self.not_improved > self.early_stop:
+            self.logger.info(
+                f"Validation performance didn't improve for {self.early_stop} stamps. "
+                "Training stops."
+            )
+            return True, False
+        return False, False
+
+    def _save(self, it: int, best: bool = False, tag: Optional[str] = None):
+        if jax.process_index() != 0:
+            return
+        tag = tag or (
+            f"model_best_until_iteration{it}" if best else f"checkpoint-iteration{it}"
+        )
+        trainer_state = {
+            "training_mode": self.mode,
+            "iteration": it,
+            "monitor_best": float(self.mnt_best),
+        }
+        save_checkpoint(
+            self.cp.save_dir,
+            tag,
+            self.state.params,
+            self.state.opt_state,
+            it,
+            self.cp.config,
+            trainer_state,
+            model_name=self.model_name,
+            optimizer_name=self.cp["optimizer"]["name"],
+            scheduler_name=(self.cp.get("lr_scheduler") or {}).get("name"),
+        )
+        self.logger.info(f"Saving checkpoint: {tag}")

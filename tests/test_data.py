@@ -1,0 +1,158 @@
+"""Data pipeline: synth H5 schema, windowing, blur synthesis, loader."""
+import os
+
+import numpy as np
+import pytest
+
+from ebfi_tpu.data.synth import write_clip_h5
+from ebfi_tpu.data.h5dataset import (
+    H5ClipDataset,
+    H5ClipDatasetReal,
+    ScaleSpec,
+    compute_period_windows,
+    compute_seq_windows,
+)
+from ebfi_tpu.data.dataloader import EBFIDataLoader, read_datalist, collate
+
+
+def dataset_cfg(**kw):
+    cfg = dict(
+        scale=1,
+        ori_scale="ori",
+        time_bins=4,
+        NumFramePerPeriod=8,
+        NumFramePerBlurry=8,
+        NumPeriodPerSeq=2,
+        SlidingWindowSeq=2,
+        NumPeriodPerLoad=1,
+        SlidingWindowLoad=1,
+        ExposureMethod="Custom",
+        ExposureTime=[3, 5, 7],
+        data_augment=dict(
+            enabled=False,
+            augment=["RandomCrop", "CenterCrop", "HorizontalFlip", "VertivcalFlip", "Noise", "HotPixel"],
+            random_crop=dict(enabled=False, size=[32, 32]),
+            center_crop=dict(enabled=False, size=[32, 32]),
+            flip=dict(enabled=False, horizontal_prob=0.5, vertical_prob=0.5),
+            noise=dict(enabled=False, noise_std=1.0, noise_fraction=0.05),
+            hot_pixel=dict(enabled=False, hot_pixel_std=2.0, hot_pixel_fraction=0.001),
+        ),
+    )
+    cfg.update(kw)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5") / "clip.h5")
+    write_clip_h5(path, num_frames=48, H=48, W=64, seed=3)
+    return path
+
+
+@pytest.fixture(scope="module")
+def real_clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5r") / "real.h5")
+    write_clip_h5(path, num_frames=24, H=48, W=64, seed=5, real_exposure=(0.6, 0.1))
+    return path
+
+
+def test_scale_spec():
+    s = ScaleSpec.resolve((720, 1280), 2, "down2")
+    assert s.gt_prefix == "ori" and s.inp_prefix == "down2"
+    assert s.gt_resolution == (720, 1280) and s.inp_resolution == (360, 640)
+    s2 = ScaleSpec.resolve((720, 1280), 2, "down4")
+    assert s2.gt_prefix == "down2" and s2.gt_resolution == (360, 640)
+    with pytest.raises(ValueError):
+        ScaleSpec.resolve((720, 1280), 3, "down2")
+
+
+def test_period_windows_custom():
+    periods, latents, blurries, duty = compute_period_windows(
+        48, 8, 8, "Custom", [3, 5, 7]
+    )
+    assert len(periods) == 5  # arange(0,48,8)[:-1]
+    assert latents[0] == list(range(8))
+    assert blurries[0] == [0, 1, 2] and duty[0] == 3 / 8
+    assert blurries[1] == list(range(8, 13)) and duty[1] == 5 / 8
+    assert blurries[3] == [24, 25, 26]  # cycles through ExposureTime
+
+
+def test_seq_windows():
+    seqs = compute_seq_windows(5, 2, 2, 1, 1)
+    assert seqs == [[(0, 0), (1, 1)], [(2, 2), (3, 3)]]
+
+
+def test_item_shapes_and_blur_synthesis(clip):
+    ds = H5ClipDataset(clip, dataset_cfg())
+    assert len(ds) == 2
+    item = ds.get(0, seed=7)
+    L, NumP, NumF = 2, 1, 8
+    assert item["latent"].shape == (L, NumP, NumF, 48, 64, 3)
+    assert item["blurry"].shape == (L, NumP, 48, 64, 3)
+    assert item["events"].shape == (L, 48, 64, 8)  # 2*TB
+    assert item["relative_ts"].shape == (L, NumP, NumF)
+    assert item["exposure"].shape == (L, NumP, 1)
+    # first period blur == mean of first 3 latent frames (ExposureTime[0]=3)
+    np.testing.assert_allclose(
+        item["blurry"][0, 0],
+        item["latent"][0, 0, :3].mean(0),
+        atol=1e-6,
+    )
+    assert item["exposure"][0, 0, 0] == pytest.approx(3 / 8)
+    # timestamps normalized by the load interval
+    np.testing.assert_allclose(item["latent_ts"][0], np.arange(8) / 8)
+
+
+def test_augment_crop_flip_joint(clip):
+    cfg = dataset_cfg()
+    cfg["data_augment"]["enabled"] = True
+    cfg["data_augment"]["random_crop"] = dict(enabled=True, size=[32, 32])
+    cfg["data_augment"]["flip"] = dict(enabled=True, horizontal_prob=1.0, vertical_prob=0.0)
+    ds = H5ClipDataset(clip, cfg)
+    item = ds.get(0, seed=11)
+    assert item["latent"].shape[-3:-1] == (32, 32)
+    assert item["events"].shape[-3:-1] == (32, 32)
+    # same seed -> identical crops (blur stays the mean of latents)
+    np.testing.assert_allclose(
+        item["blurry"][0, 0], item["latent"][0, 0, :3].mean(0), atol=1e-6
+    )
+    # different seed -> different crop almost surely
+    item2 = ds.get(0, seed=12)
+    assert not np.allclose(item["blurry"], item2["blurry"])
+
+
+def test_real_dataset(real_clip):
+    cfg = dataset_cfg(interp_num=5)
+    ds = H5ClipDatasetReal(real_clip, cfg)
+    item = ds.get(0)
+    L, NumP = 2, 1
+    assert item["blurry"].shape == (L, NumP, 48, 64, 3)
+    assert item["events"].shape == (L, 48, 64, 8)
+    np.testing.assert_allclose(item["relative_ts"][0, 0], np.linspace(0, 1, 5))
+    duty = item["exposure"]
+    assert np.all(duty > 0.3) and np.all(duty < 0.9)  # 0.6 +- 10% jitter
+
+
+def test_loader_shard_batch(clip, tmp_path):
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{clip}\n{clip}\n")
+    loader = EBFIDataLoader(
+        str(lst), dataset_cfg(), batch_size=2, shuffle=True, drop_last=True, seed=1
+    )
+    assert len(read_datalist(str(lst))) == 2
+    assert len(loader) == 2  # 4 items / batch 2
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["blurry"].shape[0] == 2
+
+    # two disjoint shards cover the epoch
+    sh0 = EBFIDataLoader(str(lst), dataset_cfg(), batch_size=1, shard_index=0, num_shards=2)
+    sh1 = EBFIDataLoader(str(lst), dataset_cfg(), batch_size=1, shard_index=1, num_shards=2)
+    assert len(sh0) + len(sh1) == 4
+
+    # set_epoch reshuffles
+    loader.set_epoch(0)
+    o0 = loader._shard_order()
+    loader.set_epoch(1)
+    o1 = loader._shard_order()
+    assert o0 != o1

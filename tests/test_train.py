@@ -1,0 +1,152 @@
+"""End-to-end training smoke on the virtual 8-device CPU mesh: data-parallel
+train step, optimizer/schedule, trainer cadence, checkpoint round-trip."""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ebfi_tpu.data.synth import write_clip_h5
+from ebfi_tpu.data.dataloader import EBFIDataLoader
+from ebfi_tpu.models import EVFIAutoEx
+from ebfi_tpu.parallel import make_mesh, dp_shardings
+from ebfi_tpu.train import build_optimizer, create_train_state, make_train_step, make_eval_step
+from ebfi_tpu.train.checkpoint import save_checkpoint, restore_checkpoint, resume
+from ebfi_tpu.train.optim import build_lr_schedule
+
+from test_data import dataset_cfg
+
+
+def tiny_model():
+    return EVFIAutoEx(
+        frame_basech=8, event_basech=8, inter_ch=8, tb=4,
+        use_gt_ex=True, step=2, channels=(4, 6, 8, 12),
+    )
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("h5") / "clip.h5")
+    write_clip_h5(path, num_frames=48, H=32, W=32, seed=3)
+    return path
+
+
+def test_steplr_schedule_with_lr_min_gate():
+    sched = build_lr_schedule("StepLR", 1e-4, {"step_size": 10, "gamma": 0.5}, lr_min=1e-5)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(10)) == pytest.approx(5e-5)
+    assert float(sched(25)) == pytest.approx(2.5e-5)
+    # decays freeze once lr would cross lr_min (train_ours.py:335-338)
+    assert float(sched(1000)) == pytest.approx(1.25e-5)
+
+
+def test_dp_train_step_runs_and_improves(clip, rng):
+    assert jax.device_count() == 8
+    model = tiny_model()
+    mesh = make_mesh()
+    batch_sh, repl = dp_shardings(mesh)
+
+    B, H, W, TB = 8, 32, 32, 4
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    ex = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    target = frame
+
+    params = model.init(jax.random.key(0), frame[:1], event[:1], t[:1], ex[:1])
+    tx, sched = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+    state = create_train_state(model, params, tx)
+    state = jax.device_put(state, repl)
+
+    step = make_train_step(model, mesh=mesh)
+    batch = {
+        "frame": jax.device_put(frame, batch_sh),
+        "event": jax.device_put(event, batch_sh),
+        "t": jax.device_put(t, batch_sh),
+        "gt_ex": jax.device_put(ex, batch_sh),
+        "target": jax.device_put(target, batch_sh),
+    }
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train_loss"]))
+    assert int(state.step) == 4
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch -> loss must drop
+
+    ev = make_eval_step(model, mesh=mesh)
+    m = ev(state.params, batch)
+    assert np.isfinite(float(m["valid_loss"]))
+
+
+def test_trainer_loop_with_loader(clip, tmp_path):
+    """Three iterations through the real Trainer + loader + checkpoints."""
+    from ebfi_tpu.train.config import ConfigParser
+    from ebfi_tpu.train.trainer import Trainer
+
+    cfg = {
+        "experiment": "smoke",
+        "model": {"name": "EVFIAutoEx"},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        "lr_scheduler": {"name": "StepLR", "args": {"step_size": 100, "gamma": 0.5}},
+        "trainer": {
+            "output_path": str(tmp_path),
+            "iteration_based_train": {
+                "enabled": True, "iterations": 3, "save_period": 2,
+                "train_log_step": 1, "valid_log_step": 1, "valid_step": 2,
+                "lr_change_rate": 1,
+            },
+            "epoch_based_train": {"enabled": False},
+            "monitor": "min valid_loss",
+            "early_stop": 10,
+            "accu_step": 1,
+            "do_validation": True,
+            "lr_min": 1e-6,
+        },
+    }
+    cp = ConfigParser(cfg, run_id="t0")
+
+    model = tiny_model()
+    dcfg = dataset_cfg(time_bins=4)
+    train_loader = EBFIDataLoader(clip, dcfg, batch_size=2, shuffle=True, drop_last=True)
+    valid_loader = EBFIDataLoader(clip, dcfg, batch_size=2)
+
+    mesh = make_mesh(num_devices=2)
+    batch_sh, repl = dp_shardings(mesh)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 8)),
+        jnp.zeros((1, 1)), jnp.zeros((1, 1)),
+    )
+    tx, _ = build_optimizer(cfg["optimizer"], cfg["lr_scheduler"], lr_min=1e-6)
+    state = jax.device_put(create_train_state(model, params, tx), repl)
+    trainer = Trainer(
+        cp, model, state,
+        make_train_step(model, mesh=mesh),
+        make_eval_step(model, mesh=mesh),
+        train_loader, valid_loader,
+        batch_sharding=batch_sh,
+    )
+    trainer.train()
+    assert int(trainer.state.step) == 3
+    saved = [d for d in os.listdir(cp.save_dir) if d.startswith("checkpoint")]
+    assert saved, "expected a periodic checkpoint"
+
+    # checkpoint round-trip with name guard
+    path = os.path.join(cp.save_dir, saved[0])
+    template = {
+        "model_states": trainer.state.params,
+        "opt_states": trainer.state.opt_state,
+        "step": 0,
+    }
+    restored = resume(path, template, "EVFIAutoEx", "Adam")
+    chex_equal = jax.tree.map(
+        lambda a, b: np.allclose(a, b), restored["model_states"], trainer.state.params
+    )
+    # restored params belong to some earlier step; just check tree structure + finiteness
+    assert jax.tree.structure(restored["model_states"]) == jax.tree.structure(
+        trainer.state.params
+    )
+    with pytest.raises(ValueError):
+        resume(path, template, "WrongName", "Adam")
