@@ -46,17 +46,20 @@ def main():
     params = model.init(
         jax.random.key(0), frame[:, :64, :64], event[:, :64, :64], ts[:, :1]
     )
-    engine = InferenceEngine(model, params)
+    engine = InferenceEngine(model, params, precision="bf16")
 
-    # warmup / compile
-    out = engine.interpolate(frame, event, ts)
-    jax.block_until_ready(out)
+    def run_once():
+        sharp, final = engine.interpolate(frame, event, ts)
+        # Host-read sync: through the axon tunnel block_until_ready does not
+        # actually wait for execution; a scalar device_get does.
+        return float(final.sum())
+
+    run_once()  # warmup / compile
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = engine.interpolate(frame, event, ts)
-        jax.block_until_ready(out)
+        run_once()
     dt = (time.perf_counter() - t0) / iters
     fps = NUM_I * B / dt
 

@@ -21,24 +21,47 @@ from ..ops import pad_amounts_to_multiple
 
 
 class InferenceEngine:
-    """Wraps (model, params) into jitted single- and multi-timestamp calls."""
+    """Wraps (model, params) into jitted single- and multi-timestamp calls.
 
-    def __init__(self, model: EVFIAutoEx, params):
+    precision: 'f32' for strict parity; 'bf16' for production throughput
+    (params stay fp32 on the host; compute casts to bfloat16 — MXU-native).
+    """
+
+    def __init__(self, model: EVFIAutoEx, params, precision: str = "f32"):
         self.model = model
         self.params = params
-        self._single = jax.jit(model.apply)
+        self.precision = precision
+        if precision == "bf16":
+            from ..utils.precision import to_bf16
+
+            self._compute_params = to_bf16(params)
+            self._cast_in = to_bf16
+        elif precision == "f32":
+            self._compute_params = params
+            self._cast_in = lambda x: x
+        else:
+            raise ValueError(f"unknown precision {precision!r}")
+        self._single = jax.jit(self._single_fn)
         self._multi_cache = {}
+
+    def _single_fn(self, frame, event, t, gt_ex):
+        s, f = self.model.apply(
+            self._compute_params, *self._cast_in((frame, event, t, gt_ex))
+        )
+        return s.astype(jnp.float32), f.astype(jnp.float32)
 
     def forward(self, frame, event, t, gt_ex=None):
         """(sharp, final) for one timestamp — reference-equivalent call."""
-        return self._single(self.params, frame, event, t, gt_ex)
+        return self._single(frame, event, t, gt_ex)
 
     def _build_multi(self):
-        model, params = self.model, self.params
+        model, params = self.model, self._compute_params
+        cast_in = self._cast_in
 
         def run(frame, event, ts, gt_ex):
             """frame (B,H,W,3), event (B,H,W,2TB), ts (B,N), gt_ex (B,1)."""
             B, H, W, _ = frame.shape
+            frame, event, ts, gt_ex = cast_in((frame, event, ts, gt_ex))
             pt, pb, pl, pr = pad_amounts_to_multiple(H, W, 8, 8)
             if pt or pb or pl or pr:
                 frame = jnp.pad(frame, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
@@ -50,7 +73,7 @@ class InferenceEngine:
                 sharp, final = model.apply(
                     params, *carry, t_col[:, None], method=EVFIAutoEx.from_timestamp
                 )
-                return carry, (sharp, final)
+                return carry, (sharp.astype(jnp.float32), final.astype(jnp.float32))
 
             _, (sharps, finals) = lax.scan(tail, trunk, ts.T)  # scan over N
             # (N, B, Hp, Wp, 3) -> crop

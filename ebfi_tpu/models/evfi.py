@@ -114,16 +114,19 @@ class EVFIAutoEx(nn.Module):
     def blurry_level(self, frame: jax.Array) -> jax.Array:
         """On-device blurriness map per `BlurryFashion`
         (model_singleframe.py:310-325)."""
+        # laplacian_response computes in exact integer arithmetic and returns
+        # f32; cast back so mixed-precision (bf16) graphs stay homogeneous.
+        lap = lambda f: laplacian_response(f).astype(f.dtype)
         if self.blurry_fashion == "DarkCh":
             return dark_channel(frame)
         if self.blurry_fashion == "Lap":
-            return laplacian_response(frame)
+            return lap(frame)
         if self.blurry_fashion == "RGB":
             return frame
         if self.blurry_fashion == "RGBDark":
             return jnp.concatenate([frame, dark_channel(frame)], axis=-1)
         if self.blurry_fashion == "RGBLap":
-            return jnp.concatenate([frame, laplacian_response(frame)], axis=-1)
+            return jnp.concatenate([frame, lap(frame)], axis=-1)
         raise ValueError(f"Wrong blurry conversion fashion {self.blurry_fashion!r}")
 
     def features(
@@ -149,7 +152,7 @@ class EVFIAutoEx(nn.Module):
             ex = jnp.full((frame.shape[0], 1), self.fix_ex, frame.dtype)
         else:
             ex = self.exposure_decision(event, self.blurry_level(frame))
-        return frame_feat, event_feat, ex, frame
+        return frame_feat, event_feat, ex.astype(frame.dtype), frame
 
     # ------------------------------------------------------------------ #
     # T-dependent tail

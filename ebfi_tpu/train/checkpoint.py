@@ -39,14 +39,19 @@ def save_checkpoint(
     optimizer_name: str = "Adam",
     scheduler_name: Optional[str] = "StepLR",
 ) -> str:
+    import numpy as np
+
     path = os.path.abspath(os.path.join(save_dir, tag))
+    # Materialize to host numpy: checkpoints stay portable across device
+    # topologies (save on an 8-chip mesh, restore on 1 chip or CPU).
+    to_np = lambda t: jax.tree.map(lambda x: np.asarray(x), t)
     with ocp.StandardCheckpointer() as ck:
         ck.save(
             path,
             {
-                "model_states": jax.tree.map(lambda x: x, params),
-                "opt_states": opt_state,
-                "step": step,
+                "model_states": to_np(params),
+                "opt_states": to_np(opt_state),
+                "step": int(step),
             },
             force=True,
         )

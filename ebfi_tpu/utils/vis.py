@@ -1,0 +1,108 @@
+"""Event/frame visualization (PNG writers).
+
+Functional equivalent of `event_visualisation`
+(myutils/vis_events/matplotlib_plot_events.py:59-313) without the
+matplotlib figure machinery: frames and polarity-count renders are
+rasterized directly and written with cv2 — same color conventions
+(green/red, blue/red, gray; 1%/99% percentile normalization), pixel-exact
+image sizes (the reference's DPI/bbox dance only approximated that).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def save_frame(frame: np.ndarray, path: str) -> None:
+    """frame: HxWx3 uint8 RGB or HxW grayscale."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if not _HAS_CV2:
+        raise RuntimeError("cv2 required for PNG output")
+    if frame.ndim == 3:
+        cv2.imwrite(path, frame[:, :, ::-1])  # RGB -> BGR
+    else:
+        cv2.imwrite(path, frame)
+
+
+def render_event_cnt(
+    event_cnt: np.ndarray,
+    color_scheme: str = "green_red",
+    black_background: bool = True,
+    normalize: bool = True,
+) -> np.ndarray:
+    """HxWx2 polarity counts (0: positive, 1: negative) -> HxWx3 float RGB
+    in [0,1].  Percentile normalization and color conventions follow
+    matplotlib_plot_events.py:127-240."""
+    if color_scheme not in ("green_red", "gray", "blue_red"):
+        raise ValueError(f"Not support {color_scheme}")
+    pos = event_cnt[:, :, 0].astype(np.float64).copy()
+    neg = event_cnt[:, :, 1].astype(np.float64).copy()
+
+    if normalize:
+        pos_min, pos_max = np.percentile(pos, 1), np.percentile(pos, 99)
+        neg_min, neg_max = np.percentile(neg, 1), np.percentile(neg, 99)
+        top = max(pos_max, neg_max)
+        if pos_min != top:
+            pos = (pos - pos_min) / (top - pos_min)
+        if neg_min != top:
+            neg = (neg - neg_min) / (top - neg_min)
+    else:
+        dominant_pos = (pos >= neg) & (pos != 0)
+        dominant_neg = (pos < neg) & (neg != 0)
+        pos = np.where(dominant_pos, 1.0, 0.0)
+        neg = np.where(dominant_neg, 1.0, 0.0)
+    pos = np.clip(pos, 0, 1)
+    neg = np.clip(neg, 0, 1)
+
+    H, W = pos.shape
+    if color_scheme == "gray":
+        return np.repeat((0.5 + 0.5 * pos - 0.5 * neg)[:, :, None], 3, axis=2)
+
+    # channel roles: green_red -> positive=green, negative=red;
+    # blue_red -> positive=blue(-ish, reference uses red positive/blue
+    # negative in its blue_red branch; we follow dominant-polarity blending)
+    pos_rgb = {"green_red": (0.0, 1.0, 0.0), "blue_red": (1.0, 0.0, 0.0)}[color_scheme]
+    neg_rgb = {"green_red": (1.0, 0.0, 0.0), "blue_red": (0.0, 0.0, 1.0)}[color_scheme]
+
+    img = np.zeros((H, W, 3)) if black_background else np.ones((H, W, 3))
+    dominant = np.where(pos >= neg, pos, neg)
+    color = np.where(
+        (pos >= neg)[:, :, None],
+        np.asarray(pos_rgb)[None, None],
+        np.asarray(neg_rgb)[None, None],
+    )
+    active = ((pos > 0) | (neg > 0))[:, :, None]
+    strength = dominant[:, :, None]
+    if black_background:
+        img = np.where(active, color * strength, img)
+    else:
+        img = np.where(active, 1.0 - strength * (1.0 - color), img)
+    return img
+
+
+def save_event_cnt(
+    event_cnt: np.ndarray,
+    path: str,
+    color_scheme: str = "green_red",
+    black_background: bool = True,
+    normalize: bool = True,
+) -> None:
+    img = render_event_cnt(event_cnt, color_scheme, black_background, normalize)
+    save_frame((img * 255).astype(np.uint8), path)
+
+
+def stack_to_cnt(stack: np.ndarray) -> np.ndarray:
+    """(H, W, 2*TB) bin-major flattened stack -> HxWx2 polarity counts
+    (`stack2cnt` analogue, encodings.py:412-430)."""
+    H, W, C = stack.shape
+    s = stack.reshape(H, W, C // 2, 2)
+    return s.sum(axis=2)
