@@ -13,8 +13,17 @@ from .restore import (
     ssim_metric,
 )
 from .lpips import LPIPS, load_lpips_params
+from .adversarial import AdversarialLoss, AdvState
+from .flow import EventWarping, averaged_iwe, deblur_events
+from .reconstruction import BrightnessConstancy
 
 __all__ = [
+    "AdversarialLoss",
+    "AdvState",
+    "EventWarping",
+    "averaged_iwe",
+    "deblur_events",
+    "BrightnessConstancy",
     "laplacian_loss",
     "census_loss",
     "charbonnier_loss",

@@ -41,7 +41,8 @@ class _ControlStage(nn.Module):
         out = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv5")(
             jnp.concatenate([ex_out, t_out], axis=-1)
         )
-        return out, None
+        # keep the scan carry dtype stable under mixed-precision inputs
+        return out.astype(inp.dtype), None
 
 
 class ResidualControl(nn.Module):
