@@ -57,12 +57,18 @@ class EBFIDataLoader:
         real_data: bool = False,
         seed: int = 0,
         num_threads: int = 2,
+        fast: bool = False,
     ):
         if isinstance(sources, str):
             paths = [sources] if sources.endswith(".h5") else read_datalist(sources)
         else:
             paths = list(sources)
-        cls = H5ClipDatasetReal if real_data else H5ClipDataset
+        if fast and not real_data:
+            from .h5dataset_fast import H5ClipDatasetFast
+
+            cls = H5ClipDatasetFast
+        else:
+            cls = H5ClipDatasetReal if real_data else H5ClipDataset
         self.datasets = [cls(p, dataset_config) for p in paths]
         self.index = [
             (di, ii) for di, ds in enumerate(self.datasets) for ii in range(len(ds))

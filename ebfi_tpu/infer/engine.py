@@ -27,10 +27,17 @@ class InferenceEngine:
     (params stay fp32 on the host; compute casts to bfloat16 — MXU-native).
     """
 
-    def __init__(self, model: EVFIAutoEx, params, precision: str = "f32"):
+    def __init__(
+        self,
+        model: EVFIAutoEx,
+        params,
+        precision: str = "f32",
+        multi_chunk: int = 4,
+    ):
         self.model = model
         self.params = params
         self.precision = precision
+        self.multi_chunk = multi_chunk
         if precision == "bf16":
             from ..utils.precision import to_bf16
 
@@ -54,13 +61,14 @@ class InferenceEngine:
         """(sharp, final) for one timestamp — reference-equivalent call."""
         return self._single(frame, event, t, gt_ex)
 
-    def _build_multi(self):
+    def _build_multi(self, mode: str):
         model, params = self.model, self._compute_params
         cast_in = self._cast_in
 
         def run(frame, event, ts, gt_ex):
             """frame (B,H,W,3), event (B,H,W,2TB), ts (B,N), gt_ex (B,1)."""
             B, H, W, _ = frame.shape
+            N = ts.shape[1]
             frame, event, ts, gt_ex = cast_in((frame, event, ts, gt_ex))
             pt, pb, pl, pr = pad_amounts_to_multiple(H, W, 8, 8)
             if pt or pb or pl or pr:
@@ -69,13 +77,45 @@ class InferenceEngine:
 
             trunk = model.apply(params, frame, event, gt_ex, method=EVFIAutoEx.features)
 
-            def tail(carry, t_col):
-                sharp, final = model.apply(
-                    params, *carry, t_col[:, None], method=EVFIAutoEx.from_timestamp
-                )
-                return carry, (sharp.astype(jnp.float32), final.astype(jnp.float32))
+            if mode == "scan":
+                # memory-lean: one tail per step (good for large N / big B)
+                def tail(carry, t_col):
+                    sharp, final = model.apply(
+                        params, *carry, t_col[:, None], method=EVFIAutoEx.from_timestamp
+                    )
+                    return carry, (sharp.astype(jnp.float32), final.astype(jnp.float32))
 
-            _, (sharps, finals) = lax.scan(tail, trunk, ts.T)  # scan over N
+                _, (sharps, finals) = lax.scan(tail, trunk, ts.T)  # (N, B, ...)
+            else:
+                # throughput mode: fold timestamps into the batch so the tail
+                # convs run at batch B*chunk (far better MXU utilization than
+                # B=1 sequential steps).  Chunked to bound the FAC kernel-bank
+                # footprint (C*K^2 channels x B*chunk at half-res).
+                chunk = min(N, self.multi_chunk)
+                n_chunks = -(-N // chunk)
+                pad_n = n_chunks * chunk - N
+                ts_p = jnp.pad(ts, ((0, 0), (0, pad_n)), mode="edge")
+                frame_feat, event_feat, ex, frame_p = trunk
+                rep = lambda x: jnp.repeat(x, chunk, axis=0)
+                trunk_rep = (rep(frame_feat), rep(event_feat), rep(ex), rep(frame_p))
+                # (n_chunks, B, chunk)
+                ts_chunks = ts_p.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+                def tail(carry, t_chunk):
+                    sharp, final = model.apply(
+                        params, *carry, t_chunk.reshape(B * chunk, 1),
+                        method=EVFIAutoEx.from_timestamp,
+                    )
+                    Hp, Wp = sharp.shape[1:3]
+                    sh = sharp.reshape(B, chunk, Hp, Wp, 3).transpose(1, 0, 2, 3, 4)
+                    fi = final.reshape(B, chunk, Hp, Wp, 3).transpose(1, 0, 2, 3, 4)
+                    return carry, (sh.astype(jnp.float32), fi.astype(jnp.float32))
+
+                _, (sharps, finals) = lax.scan(tail, trunk_rep, ts_chunks)
+                # (n_chunks, chunk, B, ...) -> (N, B, ...)
+                sharps = sharps.reshape(n_chunks * chunk, B, *sharps.shape[3:])[:N]
+                finals = finals.reshape(n_chunks * chunk, B, *finals.shape[3:])[:N]
+
             # (N, B, Hp, Wp, 3) -> crop
             sharps = sharps[:, :, pt : pt + H, pl : pl + W, :]
             finals = finals[:, :, pt : pt + H, pl : pl + W, :]
@@ -83,15 +123,16 @@ class InferenceEngine:
 
         return jax.jit(run)
 
-    def interpolate(self, frame, event, ts, gt_ex=None):
+    def interpolate(self, frame, event, ts, gt_ex=None, mode: str = "batched"):
         """All timestamps at once with trunk reuse.
 
         ts: (B, N) normalized timestamps.  Returns (sharp, final) each
         (N, B, H, W, 3), numerically identical to N calls of `forward`.
+        mode: 'batched' folds timestamps into the batch (throughput);
+        'scan' sweeps them sequentially (memory-lean for large N).
         """
-        key = "multi"
-        if key not in self._multi_cache:
-            self._multi_cache[key] = self._build_multi()
+        if mode not in self._multi_cache:
+            self._multi_cache[mode] = self._build_multi(mode)
         if gt_ex is None:
             gt_ex = jnp.zeros((frame.shape[0], 1), frame.dtype)
-        return self._multi_cache[key](frame, event, ts, gt_ex)
+        return self._multi_cache[mode](frame, event, ts, gt_ex)

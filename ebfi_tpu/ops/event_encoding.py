@@ -86,6 +86,77 @@ def events_to_stack(
     return jnp.where(nonzero, out, jnp.zeros_like(out))
 
 
+@partial(jax.jit, static_argnames=("sensor_size",))
+def events_to_channels(
+    xs: jax.Array,
+    ys: jax.Array,
+    ps: jax.Array,
+    sensor_size: tuple[int, int],
+    n_valid: jax.Array | None = None,
+) -> jax.Array:
+    """Two-channel polarity count image (encodings.py:289-304): channel 0
+    accumulates ps^2 for positive events, channel 1 for negative.
+    Returns (2, H, W) float32."""
+    H, W = sensor_size
+    N = ps.shape[0]
+    if n_valid is None:
+        n_valid = jnp.asarray(N, dtype=jnp.int32)
+    valid = jnp.arange(N, dtype=jnp.int32) < n_valid.astype(jnp.int32)
+    xi = jnp.asarray(xs, jnp.float32).astype(jnp.int32)
+    yi = jnp.asarray(ys, jnp.float32).astype(jnp.int32)
+    ps = jnp.asarray(ps, jnp.float32)
+    keep = valid & (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    pol = (ps < 0).astype(jnp.int32)
+    flat = jnp.where(keep, (pol * H + yi) * W + xi, -1)
+    out = jnp.zeros((2 * H * W,), jnp.float32)
+    out = out.at[flat].add(jnp.where(keep, ps * ps, 0.0), mode="drop")
+    return out.reshape(2, H, W)
+
+
+@partial(jax.jit, static_argnames=("sensor_size",))
+def events_to_mask(
+    xs: jax.Array,
+    ys: jax.Array,
+    ps: jax.Array,
+    sensor_size: tuple[int, int],
+) -> jax.Array:
+    """Binary activity mask |ps| at event locations, last-write semantics
+    (encodings.py:353-377).  Returns (H, W) float32."""
+    H, W = sensor_size
+    xi = jnp.asarray(xs, jnp.float32).astype(jnp.int32)
+    yi = jnp.asarray(ys, jnp.float32).astype(jnp.int32)
+    ps = jnp.asarray(ps, jnp.float32)
+    keep = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    flat = jnp.where(keep, yi * W + xi, -1)
+    out = jnp.zeros((H * W,), jnp.float32)
+    out = out.at[flat].set(jnp.where(keep, jnp.abs(ps), 0.0), mode="drop")
+    return out.reshape(H, W)
+
+
+def events_polarity_mask(ps: jax.Array) -> jax.Array:
+    """(N,) polarities -> (N, 2) one-hot-ish mask (encodings.py:380-391)."""
+    ps = jnp.asarray(ps, jnp.float32)
+    pos = jnp.where(ps > 0, ps, 0.0)
+    neg = jnp.where(ps < 0, -ps, 0.0)
+    return jnp.stack([pos, neg], axis=1)
+
+
+def get_hot_event_mask(event_rate: jax.Array, idx: int, max_px: int = 100,
+                       min_obvs: int = 5, max_rate: float = 0.8) -> jax.Array:
+    """Hot-pixel suppression mask (encodings.py:394-409): zero the up-to
+    `max_px` highest-rate pixels above `max_rate` once enough observations
+    accumulated.  Vectorized: instead of the reference's sequential argmax
+    loop, mask the top-k pixels exceeding the rate threshold."""
+    if idx <= min_obvs:
+        return jnp.ones_like(event_rate)
+    flat = event_rate.reshape(-1)
+    k = min(max_px, flat.shape[0])
+    top_vals, top_idx = jax.lax.top_k(flat, k)
+    mask = jnp.ones_like(flat)
+    mask = mask.at[top_idx].min(jnp.where(top_vals > max_rate, 0.0, 1.0))
+    return mask.reshape(event_rate.shape)
+
+
 @partial(jax.jit, static_argnames=("num_bins", "sensor_size"))
 def events_to_voxel(
     xs: jax.Array,

@@ -22,6 +22,7 @@ import math
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataloader import device_prefetch
@@ -72,6 +73,10 @@ class Trainer:
         self.train_log_step = int(mcfg.get("train_log_step", 50))
         self.valid_step = int(mcfg.get("valid_step", 5000))
         self.do_validation = tcfg.get("do_validation", True) and valid_loader is not None
+
+        vis_cfg = tcfg.get("vis", {})
+        self.vis_enabled = bool(vis_cfg.get("enabled", False))
+        self.vis_step = int(vis_cfg.get("train_img_writer_num", 20))
 
         monitor = tcfg.get("monitor", "off")
         if monitor == "off":
@@ -137,7 +142,7 @@ class Trainer:
                 for batch in self._batches_from_window(window):
                     self.state, metrics = self.train_step(self.state, self._put(batch))
                     it = int(self.state.step)
-                    stop = self._post_step(it, metrics)
+                    stop = self._post_step(it, metrics, batch)
                     if stop or it >= self.iterations:
                         stop = True
                         break
@@ -161,10 +166,17 @@ class Trainer:
 
     # -------------------------------------------------------------- #
 
-    def _post_step(self, it: int, metrics) -> bool:
+    def _post_step(self, it: int, metrics, batch=None) -> bool:
         """Logging / validation / checkpoint cadence after an iteration
         (train_ours.py:278-347).  Returns stop_training."""
         self._log(it, metrics)
+        if (
+            self.vis_enabled
+            and self.writer is not None
+            and batch is not None
+            and it % self.vis_step == 0
+        ):
+            self._log_images(it, batch)
         stop = False
         if self.do_validation and it % self.valid_step == 0 and it != 0:
             val = self._valid()
@@ -186,6 +198,40 @@ class Trainer:
             if self.writer is not None:
                 self.writer.add_scalar("train_loss", loss, it)
             self.logger.info(f"Iteration: {it}/{self.iterations} train_loss: {loss:.4e}")
+
+    def _log_images(self, it: int, batch) -> None:
+        """TB image panels: events / blurry / sharp / gt
+        (train_ours.py:297-308)."""
+        try:
+            from ..utils.vis import render_event_cnt, stack_to_cnt
+
+            sharp, final = self.model.apply(
+                self.state.params,
+                jnp.asarray(batch["frame"][:1]),
+                jnp.asarray(batch["event"][:1]),
+                jnp.asarray(batch["t"][:1]),
+                jnp.asarray(batch["gt_ex"][:1]) if "gt_ex" in batch else None,
+            )
+            ev_img = render_event_cnt(stack_to_cnt(np.asarray(batch["event"][0])))
+            self.writer.add_image("train_HR_events", ev_img, it, dataformats="HWC")
+            self.writer.add_image(
+                "train_blurry_frame",
+                (np.asarray(batch["frame"][0]) * 255).astype("uint8"), it,
+                dataformats="HWC",
+            )
+            self.writer.add_image(
+                "train_sharp_frame",
+                (np.clip(np.asarray(final[0]), 0, 1) * 255).astype("uint8"), it,
+                dataformats="HWC",
+            )
+            if "target" in batch:
+                self.writer.add_image(
+                    "train_gt_frame",
+                    (np.asarray(batch["target"][0]) * 255).astype("uint8"), it,
+                    dataformats="HWC",
+                )
+        except Exception as e:  # pragma: no cover - vis must never kill training
+            self.logger.warning(f"image logging failed: {e}")
 
     def _valid(self) -> Dict[str, float]:
         self.valid_metrics.reset()

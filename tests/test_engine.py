@@ -1,0 +1,39 @@
+"""InferenceEngine: multi-timestamp modes vs per-T reference forwards."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ebfi_tpu.infer import InferenceEngine
+from test_models import default_model, make_inputs
+
+
+def test_multi_modes_match_per_t_forward(rng):
+    model = default_model()
+    frame, event, t, ex = make_inputs(rng, B=2, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(model, params, multi_chunk=3)
+
+    N = 5
+    ts = jnp.asarray(rng.uniform(0, 1, (2, N)).astype(np.float32))
+    gt_ex = jnp.zeros((2, 1))
+
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    ref_sharp = np.stack([np.asarray(s) for s, _ in per_t])
+    ref_final = np.stack([np.asarray(f) for _, f in per_t])
+
+    for mode in ("scan", "batched"):
+        sharps, finals = engine.interpolate(frame, event, ts, gt_ex, mode=mode)
+        np.testing.assert_allclose(np.asarray(sharps), ref_sharp, atol=2e-5,
+                                   err_msg=f"mode={mode}")
+        np.testing.assert_allclose(np.asarray(finals), ref_final, atol=2e-5,
+                                   err_msg=f"mode={mode}")
+
+
+def test_engine_single_forward_matches_model(rng):
+    model = default_model()
+    frame, event, t, ex = make_inputs(rng)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(model, params)
+    s1, f1 = engine.forward(frame, event, t, jnp.zeros((2, 1)))
+    s2, f2 = model.apply(params, frame, event, t)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
