@@ -50,7 +50,7 @@ def save_checkpoint(
             path,
             {
                 "model_states": to_np(params),
-                "opt_states": to_np(opt_state),
+                "opt_states": to_np(opt_state) if opt_state is not None else {},
                 "step": int(step),
             },
             force=True,
