@@ -104,16 +104,48 @@ def conv3d(
     kernel: jax.Array,
     stride: Tuple[int, int, int] = (1, 1, 1),
     padding: Tuple[int, int, int] = (0, 0, 0),
+    lhs_dilation: Tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
-    """3D convolution, NDTHWC <- (B, T, H, W, C) with DHWIO kernel."""
-    pads = [(p, p) for p in padding]
-    return lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=stride,
-        padding=pads,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+    """3D convolution, NDHWC <- (B, T, H, W, C) with DHWIO kernel.
+
+    TPU-first lowering: the detail branch's temporal extent is tiny (T=2),
+    where XLA's native conv3d tiles poorly.  Decompose over the kd temporal
+    taps into batched 2D convs (temporal axis folded into batch) — exactly
+    equivalent, runs on the MXU's well-tuned 2D conv path.  Temporal
+    padding may be asymmetric (`padding[0]` as (lo, hi) pair or int).
+    """
+    B, T, H, W, C = x.shape
+    kd = kernel.shape[0]
+    sd, sh, sw = stride
+    pd = padding[0] if isinstance(padding[0], (tuple, list)) else (padding[0], padding[0])
+    ph = padding[1] if isinstance(padding[1], (tuple, list)) else (padding[1], padding[1])
+    pw = padding[2] if isinstance(padding[2], (tuple, list)) else (padding[2], padding[2])
+    ld_d, ld_h, ld_w = lhs_dilation
+
+    if ld_d != 1:
+        # temporal input dilation unused by the model family; fall back
+        return lax.conv_general_dilated(
+            x, kernel, stride, [pd, ph, pw],
+            lhs_dilation=lhs_dilation,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+
+    if pd != (0, 0):
+        x = jnp.pad(x, ((0, 0), pd, (0, 0), (0, 0), (0, 0)))
+        T = T + pd[0] + pd[1]
+    t_out = (T - kd) // sd + 1
+
+    out = None
+    for k in range(kd):
+        xs = x[:, k : k + (t_out - 1) * sd + 1 : sd]  # (B, t_out, H, W, C)
+        flat = xs.reshape(B * t_out, H, W, C)
+        y = lax.conv_general_dilated(
+            flat, kernel[k], (sh, sw), [ph, pw],
+            lhs_dilation=(ld_h, ld_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = y if out is None else out + y
+    return out.reshape(B, t_out, *out.shape[1:])
 
 
 class Conv3D(nn.Module):
@@ -168,13 +200,8 @@ class ConvTranspose3D(nn.Module):
         )
         flipped = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)  # DHW,I=Cin,O
         pads = [(kk - 1 - p, kk - 1 - p) for kk, p in zip(k, self.padding)]
-        y = lax.conv_general_dilated(
-            x,
-            flipped,
-            window_strides=(1, 1, 1),
-            padding=pads,
-            lhs_dilation=self.stride,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        y = conv3d(
+            x, flipped, stride=(1, 1, 1), padding=pads, lhs_dilation=self.stride
         )
         fan_in = Cin * int(np.prod(k))
         y = y + self.param("bias", torch_default_bias_init(fan_in), (self.features,))

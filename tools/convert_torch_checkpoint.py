@@ -84,10 +84,18 @@ def convert_evfi_state_dict(sd: Dict[str, np.ndarray], step: int = 12) -> dict:
             bs = np.stack([sd[fmt.format(i) + ".bias"] for i in range(step)])
             return {"Conv_0": {"kernel": ws, "bias": bs}}
 
+        def stack_dense(fmt):
+            # 1x1 conv over a scalar "image" == Dense: (C,1,1,1) -> (1,C)
+            ws = np.stack([
+                sd[fmt.format(i) + ".weight"].reshape(-1, 1).T for i in range(step)
+            ])
+            bs = np.stack([sd[fmt.format(i) + ".bias"] for i in range(step)])
+            return {"kernel": ws, "bias": bs}
+
         p["residual_control"] = {
             "stages": {
-                "conv1": stack("ResidualControl.Conv1.{}.0.conv2d"),
-                "conv2": stack("ResidualControl.Conv2.{}.0.conv2d"),
+                "conv1": stack_dense("ResidualControl.Conv1.{}.0.conv2d"),
+                "conv2": stack_dense("ResidualControl.Conv2.{}.0.conv2d"),
                 "conv3a": stack("ResidualControl.Conv3.{}.0.conv2d"),
                 "conv3b": stack("ResidualControl.Conv3.{}.1.conv2d"),
                 "conv4a": stack("ResidualControl.Conv4.{}.0.conv2d"),
