@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import kernel_conv2d
+from ..ops import kernel_conv2d_auto
 from .layers import ConvLayer
 
 
@@ -28,9 +28,11 @@ class Modification(nn.Module):
         """frame_feat: (B,H,W,C1); event_feat: (B,H,W,C2) -> (B,H,W,C1)."""
         C1, K = self.frame_basech, self.kernel_size
         ev = ConvLayer(C1, 1, 1, 0, self.activation, self.norm, name="conv1")(event_feat)
+        # The predicted bank uses the framework's tap-major channel order
+        # (the torch converter permutes the reference's c-major weights).
         kern = ConvLayer(C1 * K * K, 3, 1, 1, self.activation, self.norm, name="kernel_conv")(
             jnp.concatenate([ev, frame_feat], axis=-1)
         )
-        e1 = kernel_conv2d(ev, kern, K)
+        e1 = kernel_conv2d_auto(ev, kern, K)
         e1 = ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv3")(e1)
         return frame_feat * e1 + ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv2")(e1)

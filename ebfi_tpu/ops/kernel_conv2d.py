@@ -30,12 +30,19 @@ import jax
 import jax.numpy as jnp
 
 
-def kernel_conv2d_raw(x_pad: jax.Array, kernel: jax.Array, kernel_size: int) -> jax.Array:
+def kernel_conv2d_raw(
+    x_pad: jax.Array, kernel: jax.Array, kernel_size: int, layout: str = "c_major"
+) -> jax.Array:
     """Apply per-pixel kernels to an already-padded input.
 
     Mirrors the raw CUDA op (no padding inside): ``x_pad`` is
     (B, H+K-1, W+K-1, C) and ``kernel`` is (B, H, W, C*K*K); returns
     (B, H, W, C).
+
+    layout: 'c_major' — bank channel = ``c*K*K + ky*K + kx`` (the torch
+    op's order); 'tap_major' — ``(ky*K + kx)*C + c`` (the framework's
+    canonical order: each tap is a contiguous lane slice, which both XLA
+    and the Pallas kernel consume without a gather).
     """
     K = kernel_size
     B, Hp, Wp, C = x_pad.shape
@@ -44,21 +51,29 @@ def kernel_conv2d_raw(x_pad: jax.Array, kernel: jax.Array, kernel_size: int) -> 
         raise ValueError(
             f"kernel shape {kernel.shape} incompatible with input {x_pad.shape} and K={K}"
         )
-    kern = kernel.reshape(B, H, W, C, K, K)
     out = jnp.zeros((B, H, W, C), dtype=jnp.promote_types(x_pad.dtype, kernel.dtype))
+    if layout == "c_major":
+        kern = kernel.reshape(B, H, W, C, K, K)
+        taps = lambda ky, kx: kern[..., ky, kx]
+    elif layout == "tap_major":
+        taps = lambda ky, kx: kernel[..., (ky * K + kx) * C : (ky * K + kx + 1) * C]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
     for ky in range(K):
         for kx in range(K):
-            out = out + x_pad[:, ky : ky + H, kx : kx + W, :] * kern[..., ky, kx]
+            out = out + x_pad[:, ky : ky + H, kx : kx + W, :] * taps(ky, kx)
     return out
 
 
-def kernel_conv2d(x: jax.Array, kernel: jax.Array, kernel_size: int) -> jax.Array:
+def kernel_conv2d(
+    x: jax.Array, kernel: jax.Array, kernel_size: int, layout: str = "c_major"
+) -> jax.Array:
     """Filter-adaptive convolution with replication padding (module semantics).
 
     Args:
       x: (B, H, W, C) input features.
-      kernel: (B, H, W, C*K*K) per-pixel kernel bank, channel layout
-        ``c*K*K + ky*K + kx``.
+      kernel: (B, H, W, C*K*K) per-pixel kernel bank (see
+        :func:`kernel_conv2d_raw` for the two channel layouts).
       kernel_size: odd K.
 
     Returns: (B, H, W, C).
@@ -67,4 +82,4 @@ def kernel_conv2d(x: jax.Array, kernel: jax.Array, kernel_size: int) -> jax.Arra
         raise ValueError("kernel_size must be odd")
     p = (kernel_size - 1) // 2
     x_pad = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
-    return kernel_conv2d_raw(x_pad, kernel, kernel_size)
+    return kernel_conv2d_raw(x_pad, kernel, kernel_size, layout)

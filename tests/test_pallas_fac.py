@@ -1,0 +1,46 @@
+"""Pallas FAC kernel vs the XLA twin (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ebfi_tpu.ops import kernel_conv2d
+from ebfi_tpu.ops.pallas import kernel_conv2d_pallas
+
+
+def test_pallas_forward_matches_xla(rng):
+    B, H, W, C, K = 2, 12, 16, 8, 5
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kern = jnp.asarray(rng.standard_normal((B, H, W, C * K * K)).astype(np.float32))
+    ref = kernel_conv2d(x, kern, K, layout="tap_major")
+    got = kernel_conv2d_pallas(x, kern, K)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_gradients_match_xla(rng):
+    B, H, W, C, K = 1, 8, 8, 4, 3
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kern = jnp.asarray(rng.standard_normal((B, H, W, C * K * K)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+
+    def f_pallas(a, b):
+        return jnp.sum(kernel_conv2d_pallas(a, b, K) * cot)
+
+    def f_xla(a, b):
+        return jnp.sum(kernel_conv2d(a, b, K, layout="tap_major") * cot)
+
+    gp = jax.grad(f_pallas, argnums=(0, 1))(x, kern)
+    gx = jax.grad(f_xla, argnums=(0, 1))(x, kern)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_tap_major_layout_equivalence(rng):
+    """tap-major XLA == c-major XLA after the converter's permutation."""
+    B, H, W, C, K = 1, 6, 7, 3, 3
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kern_c = rng.standard_normal((B, H, W, C * K * K)).astype(np.float32)
+    perm = np.arange(C * K * K).reshape(C, K * K).T.reshape(-1)
+    kern_t = kern_c[..., perm]
+    a = kernel_conv2d(x, jnp.asarray(kern_c), K, layout="c_major")
+    b = kernel_conv2d(x, jnp.asarray(kern_t), K, layout="tap_major")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -105,11 +105,20 @@ def convert_evfi_state_dict(sd: Dict[str, np.ndarray], step: int = 12) -> dict:
         }
 
     if "Modification.Conv1.conv2d.weight" in sd:
+        # The FAC bank-prediction conv: permute torch's c-major output
+        # channels (c*K^2 + tap) to the framework's tap-major order
+        # (tap*C + c) so each tap is a contiguous lane slice on TPU.
+        kc = _conv_layer(sd, "Modification.KernelConv")["Conv_0"]
+        ckk = kc["kernel"].shape[-1]
+        c_in_bank = sd["Modification.Conv1.conv2d.weight"].shape[0]
+        kk = ckk // c_in_bank
+        perm = np.arange(ckk).reshape(c_in_bank, kk).T.reshape(-1)  # tap-major
+        kc = {"kernel": kc["kernel"][..., perm], "bias": kc["bias"][perm]}
         p["modification"] = {
             "conv1": _conv_layer(sd, "Modification.Conv1"),
             "conv2": _conv_layer(sd, "Modification.Conv2"),
             "conv3": _conv_layer(sd, "Modification.Conv3"),
-            "kernel_conv": _conv_layer(sd, "Modification.KernelConv"),
+            "kernel_conv": {"Conv_0": kc},
         }
 
     p["recon_up"] = _conv_layer(sd, "Reconstruction.0.0")
