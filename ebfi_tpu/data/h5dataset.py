@@ -31,6 +31,7 @@ import h5py
 import numpy as np
 
 from .encodings import events_to_stack_np, normalize_event_ts
+from ..native import available as _native_available
 
 try:
     import cv2
@@ -38,6 +39,15 @@ try:
     _HAS_CV2 = True
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
+
+
+def _encode_stack(xs, ys, ts, ps, num_bins, sensor_size):
+    """Host event rasterizer: C++ data plane when built, numpy fallback."""
+    if _native_available():
+        from ..native import events_to_stack_native
+
+        return events_to_stack_native(xs, ys, ts, ps, num_bins, sensor_size)
+    return events_to_stack_np(xs, ys, ts, ps, num_bins, sensor_size)
 
 
 # ----------------------------------------------------------------------- #
@@ -264,6 +274,20 @@ class H5ClipDataset:
     def _frames(self, indices: Sequence[int]) -> np.ndarray:
         return np.stack([self._read_frame(i) for i in indices])
 
+    def _blurry(self, indices: Sequence[int]) -> np.ndarray:
+        """On-the-fly blur synthesis = mean of the exposure-window frames
+        (h5dataset.py:311); C++ data plane when no rescale is needed."""
+        native_ok = _native_available() and self.spec.gt_prefix == "ori"
+        if native_ok:
+            raw = np.stack(
+                [self.h5["ori_images"][f"image{i:09d}"][:] for i in indices]
+            )
+            if raw.shape[1:3] == tuple(self.spec.gt_resolution):
+                from ..native import blurry_mean_native
+
+                return blurry_mean_native(raw)
+        return self._frames(indices).astype(np.float32).mean(0) / 255.0
+
     def _event_stack(self, start: int, end: int) -> np.ndarray:
         """(H, W, 2*TB) bin-major count stack for frames [start, end]."""
         prex = self.spec.gt_prefix
@@ -276,7 +300,7 @@ class H5ClipDataset:
         if len(xs) == 0:
             xs = ys = ts = ps = np.array([0.0])
         ts = normalize_event_ts(ts)
-        stack = events_to_stack_np(
+        stack = _encode_stack(
             xs, ys, ts, ps.astype(np.float64), self.time_bins, self.spec.gt_resolution
         )  # (2, TB, H, W)
         # -> (H, W, TB, 2) -> (H, W, 2*TB) bin-major, polarity-minor
@@ -306,9 +330,7 @@ class H5ClipDataset:
                 lat_frames.append(
                     self._frames(sharp_idx).astype(np.float32) / 255.0
                 )  # (NumF, H, W, 3)
-                blur_frames.append(
-                    self._frames(bi).astype(np.float32).mean(0) / 255.0
-                )  # (H, W, 3) — blur = mean of exposure frames (h5dataset.py:311)
+                blur_frames.append(self._blurry(bi))  # (H, W, 3)
                 if self.need_neighbor_gt:
                     nei = []
                     NF = self.num_frame_per_period
@@ -417,7 +439,7 @@ class H5ClipDatasetReal:
         if len(xs) == 0:
             xs = ys = ts = ps = np.array([0.0])
         ts = normalize_event_ts(ts)
-        stack = events_to_stack_np(
+        stack = _encode_stack(
             xs, ys, ts, ps.astype(np.float64), self.time_bins, self.spec.gt_resolution
         )
         return stack.transpose(2, 3, 1, 0).reshape(
