@@ -1,89 +1,166 @@
 """ResidualControl: the time-exposure control stack.
 
 Reference: models/Ours/model_singleframe.py:79-136 — `step` (default 12)
-sequential stages, each modulating the event features by 1x1-conv'd
-broadcast scalars of exposure `Ex` and timestamp `T` through two residual
-paths fused by a conv.
+sequential stages, each modulating the event features by broadcast scalars
+of exposure `Ex` and timestamp `T` through two residual conv paths fused by
+a conv:
 
-TPU-first: the stages are structurally identical, so they compile as ONE
-`nn.scan` over stacked per-stage parameters — a single XLA while-loop body
-instead of `step` unrolled subgraphs (faster compiles, identical math).
+    exx = lrelu(conv3b(lrelu(conv3a(x))))
+    tx  = lrelu(conv4b(lrelu(conv4a(x))))
+    x'  = lrelu(conv5(concat(ex_scale*exx + x, t_scale*tx + x)))
+
+TPU-first: the module owns stacked per-stage parameters and offers two
+numerically-matched execution paths —
+
+- an XLA path (`lax.scan` over the stacked weights; used on CPU, for
+  autodiff, and as the parity oracle), and
+- a fused Pallas path (`ops.pallas.control_stage`): each stage runs as one
+  kernel that keeps the whole conv/elementwise chain in VMEM, cutting the
+  ~14 intermediate HBM tensors XLA materializes per stage to one
+  read + one write.
+
+The Ex/T modulation scales are an affine map of a scalar (the reference's
+1x1 conv over a 1x1 "image"), computed for all stages at once.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
-from .layers import ConvLayer, activation_fn, kaiming_in_init
+from .layers import activation_fn, kaiming_in_init
 
 
-class _ControlStage(nn.Module):
-    """One stage (model_singleframe.py:127-134).
-
-    The reference computes the Ex/T modulation scales with 1x1 convs over a
-    1x1 "image" of the scalar; that is an affine map of a scalar — here a
-    Dense on (B, 1) broadcast over space (identical math, avoids degenerate
-    MXU convs inside the hot loop; the checkpoint converter reshapes the
-    (C,1,1,1) conv weights onto the dense kernels).
-    """
-
-    basech: int
-    norm: Optional[str]
-    activation: str
-
-    @nn.compact
-    def __call__(self, inp, ex_t):
-        ex, t = ex_t  # (B,1,1,1) each
-        act = activation_fn(self.activation)
-        dense = lambda name, v: act(
-            nn.Dense(self.basech, kernel_init=kaiming_in_init(0.1),
-                     name=name)(v[:, 0, 0, :])
-        )[:, None, None, :]
-        ex_scale = dense("conv1", ex)
-        t_scale = dense("conv2", t)
-        exx = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv3a")(inp)
-        exx = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv3b")(exx)
-        tx = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv4a")(inp)
-        tx = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv4b")(tx)
-        ex_out = ex_scale * exx + inp
-        t_out = t_scale * tx + inp
-        out = ConvLayer(self.basech, 3, 1, 1, self.activation, self.norm, name="conv5")(
-            jnp.concatenate([ex_out, t_out], axis=-1)
-        )
-        # keep the scan carry dtype stable under mixed-precision inputs
-        return out.astype(inp.dtype), None
+def _conv3x3(x, w, b):
+    """NHWC 3x3 conv, padding 1.  w: (3, 3, Cin, Cout)."""
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + b
 
 
 class ResidualControl(nn.Module):
-    """`step` scanned control stages (model_singleframe.py:79-136).
-
-    `unroll=True` (default) unrolls the scan body at compile time: the
-    parameters stay stacked on a leading stage axis (checkpoint layout
-    unchanged), but XLA fuses across stages instead of emitting a while
-    loop — measured ~5x faster at (1, 360, 640, 64) on v5e, identical math.
-    """
-
     basech: int = 16
     step: int = 4
     norm: Optional[str] = None
     activation: str = "LeakyReLU"
-    unroll: bool = True
+    unroll: bool = True          # XLA path: unroll the stage scan
+    # The fused Pallas stage kernel is numerically exact (f32 parity ~1e-20
+    # on device) but currently ~35% slower than XLA's convs at 360x640x64
+    # (K=64 tap dots underutilize the MXU); kept as an option + prototype.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, data: jax.Array, ex: jax.Array, t: jax.Array) -> jax.Array:
         """data: (B, H, W, C); ex, t: (B, 1) -> (B, H, W, C)."""
-        ex = ex[:, None, None, :]  # (B,1,1,1)
-        t = t[:, None, None, :]
-        scan = nn.scan(
-            _ControlStage,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=nn.broadcast,
-            length=self.step,
-            unroll=self.step if self.unroll else 1,
+        if self.norm is not None:
+            raise NotImplementedError("ResidualControl supports norm=None")
+        C, S = self.basech, self.step
+        init = kaiming_in_init(0.1)
+        zeros = nn.initializers.zeros
+        p = {
+            "d1": self.param("d1", init, (S, 1, C)),
+            "d1_b": self.param("d1_b", zeros, (S, C)),
+            "d2": self.param("d2", init, (S, 1, C)),
+            "d2_b": self.param("d2_b", zeros, (S, C)),
+            "conv3a": self.param("conv3a", init, (S, 3, 3, C, C)),
+            "conv3a_b": self.param("conv3a_b", zeros, (S, C)),
+            "conv3b": self.param("conv3b", init, (S, 3, 3, C, C)),
+            "conv3b_b": self.param("conv3b_b", zeros, (S, C)),
+            "conv4a": self.param("conv4a", init, (S, 3, 3, C, C)),
+            "conv4a_b": self.param("conv4a_b", zeros, (S, C)),
+            "conv4b": self.param("conv4b", init, (S, 3, 3, C, C)),
+            "conv4b_b": self.param("conv4b_b", zeros, (S, C)),
+            "conv5": self.param("conv5", init, (S, 3, 3, 2 * C, C)),
+            "conv5_b": self.param("conv5_b", zeros, (S, C)),
+        }
+        act = activation_fn(self.activation)
+        dtype = data.dtype
+        p = jax.tree.map(lambda v: v.astype(dtype), p)
+
+        # per-stage modulation scales from the scalars: (S, B, C)
+        ex_scales = act(
+            jnp.einsum("bi,sic->sbc", ex.astype(dtype), p["d1"]) + p["d1_b"][:, None, :]
         )
-        out, _ = scan(self.basech, self.norm, self.activation, name="stages")(data, (ex, t))
+        t_scales = act(
+            jnp.einsum("bi,sic->sbc", t.astype(dtype), p["d2"]) + p["d2_b"][:, None, :]
+        )
+
+        pallas_ok = (
+            self.use_pallas
+            and self.activation == "LeakyReLU"
+            and jax.default_backend() in ("tpu", "axon")
+            and not os.environ.get("EBFI_DISABLE_PALLAS")
+        )
+        if pallas_ok:
+            return self._pallas_path(data, p, ex_scales, t_scales)
+        return self._xla_path(data, p, ex_scales, t_scales, act)
+
+    # ------------------------------------------------------------------ #
+
+    def _xla_path(self, data, p, ex_scales, t_scales, act):
+        C = self.basech
+
+        def stage(x, s):
+            # conv3a|conv4a merged on the output axis (one 64->128 conv);
+            # conv5(concat(u, v)) == conv5u(u) + conv5v(v) — identical math,
+            # fewer materialized intermediates
+            a = _conv3x3(x, s["wa"], s["ba"])
+            exx = act(_conv3x3(act(a[..., :C]), s["conv3b"], s["conv3b_b"]))
+            tx = act(_conv3x3(act(a[..., C:]), s["conv4b"], s["conv4b_b"]))
+            u = s["ex"][:, None, None, :] * exx + x
+            v = s["t"][:, None, None, :] * tx + x
+            out = act(
+                _conv3x3(u, s["w5u"], s["conv5_b"]) + _conv3x3(v, s["w5v"], 0.0)
+            )
+            return out.astype(x.dtype), None
+
+        stacked = {
+            k: p[k] for k in ("conv3b", "conv3b_b", "conv4b", "conv4b_b", "conv5_b")
+        }
+        stacked["wa"] = jnp.concatenate([p["conv3a"], p["conv4a"]], axis=-1)
+        stacked["ba"] = jnp.concatenate([p["conv3a_b"], p["conv4a_b"]], axis=-1)
+        stacked["w5u"] = p["conv5"][:, :, :, :C, :]
+        stacked["w5v"] = p["conv5"][:, :, :, C:, :]
+        stacked["ex"] = ex_scales
+        stacked["t"] = t_scales
+        out, _ = lax.scan(
+            stage, data, stacked, unroll=self.step if self.unroll else 1
+        )
         return out
+
+    def _pallas_path(self, data, p, ex_scales, t_scales):
+        from ..ops.pallas.control_stage import residual_control_stage_pallas
+
+        C = self.basech
+        x = data
+        for s in range(self.step):
+            wa = jnp.concatenate(
+                [p["conv3a"][s].reshape(9 * C, C), p["conv4a"][s].reshape(9 * C, C)],
+                axis=1,
+            )
+            # scalar tables travel in f32 (dynamic sublane indexing of bf16
+            # is not supported by Mosaic)
+            biases = jnp.zeros((8, C), jnp.float32)
+            biases = biases.at[0].set(p["conv3a_b"][s].astype(jnp.float32))
+            biases = biases.at[1].set(p["conv4a_b"][s].astype(jnp.float32))
+            biases = biases.at[2].set(p["conv3b_b"][s].astype(jnp.float32))
+            biases = biases.at[3].set(p["conv4b_b"][s].astype(jnp.float32))
+            biases = biases.at[4].set(p["conv5_b"][s].astype(jnp.float32))
+            scales = jnp.concatenate(
+                [ex_scales[s], t_scales[s]], axis=-1
+            ).astype(jnp.float32)  # (B, 2C)
+            x = residual_control_stage_pallas(
+                x,
+                wa,
+                p["conv3b"][s].reshape(9 * C, C),
+                p["conv4b"][s].reshape(9 * C, C),
+                p["conv5"][s].reshape(9 * 2 * C, C),
+                biases,
+                scales,
+            )
+        return x

@@ -89,25 +89,44 @@ def test_trunk_tail_split_matches_full_forward(rng):
     np.testing.assert_allclose(np.asarray(final_full), np.asarray(final2), atol=1e-6)
 
 
-def test_residual_control_scan_matches_unrolled(rng):
-    """The nn.scan compilation is a pure compile-time choice: manually
-    threading stage params through an unrolled loop gives identical math."""
-    rc = ResidualControl(basech=8, step=4)
+def test_residual_control_unroll_invariance(rng):
+    """Scan unrolling is a pure compile-time choice — identical math."""
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8)).astype(np.float32))
     ex = jnp.asarray(rng.uniform(0, 1, (2, 1)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0, 1, (2, 1)).astype(np.float32))
-    params = rc.init(jax.random.key(0), x, ex, t)
-    out = rc.apply(params, x, ex, t)
+    rc1 = ResidualControl(basech=8, step=4, unroll=True)
+    rc2 = ResidualControl(basech=8, step=4, unroll=False)
+    params = rc1.init(jax.random.key(0), x, ex, t)
+    out1 = rc1.apply(params, x, ex, t)
+    out2 = rc2.apply(params, x, ex, t)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
-    from ebfi_tpu.models.control import _ControlStage
 
-    stage = _ControlStage(basech=8, norm=None, activation="LeakyReLU")
-    stacked = params["params"]["stages"]
-    inp = x
-    for i in range(4):
-        stage_params = jax.tree.map(lambda v: v[i], stacked)
-        inp, _ = stage.apply({"params": stage_params}, inp, (ex[:, None, None, :], t[:, None, None, :]))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(inp), atol=1e-6)
+def test_residual_control_pallas_stage_matches_xla(rng):
+    """The fused Pallas stage (interpret mode on CPU) == the XLA stage."""
+    from ebfi_tpu.ops.pallas.control_stage import (
+        residual_control_stage_pallas,
+        _xla_stage_twin,
+    )
+
+    B, H, W, C = 2, 8, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((9 * C, 2 * C)).astype(np.float32) * 0.1)
+    w3b = jnp.asarray(rng.standard_normal((9 * C, C)).astype(np.float32) * 0.1)
+    w4b = jnp.asarray(rng.standard_normal((9 * C, C)).astype(np.float32) * 0.1)
+    w5 = jnp.asarray(rng.standard_normal((18 * C, C)).astype(np.float32) * 0.1)
+    biases = jnp.asarray(rng.standard_normal((8, C)).astype(np.float32) * 0.1)
+    scales = jnp.asarray(rng.uniform(0, 1, (B, 2 * C)).astype(np.float32))
+
+    ref = _xla_stage_twin(x, wa, w3b, w4b, w5, biases, scales)
+    got = residual_control_stage_pallas(x, wa, w3b, w4b, w5, biases, scales)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the custom VJP (XLA twin backward)
+    g = jax.grad(
+        lambda *a: jnp.sum(residual_control_stage_pallas(*a)), argnums=(0, 1)
+    )(x, wa, w3b, w4b, w5, biases, scales)
+    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
 
 
 def test_exposure_decision_range(rng):

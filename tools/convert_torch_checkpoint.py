@@ -79,29 +79,33 @@ def convert_evfi_state_dict(sd: Dict[str, np.ndarray], step: int = 12) -> dict:
         }
 
     if "ResidualControl.Conv1.0.0.conv2d.weight" in sd:
-        def stack(fmt):
-            ws = np.stack([_c2d(sd[fmt.format(i) + ".weight"]) for i in range(step)])
-            bs = np.stack([sd[fmt.format(i) + ".bias"] for i in range(step)])
-            return {"Conv_0": {"kernel": ws, "bias": bs}}
+        def stack_w(fmt):
+            return np.stack([_c2d(sd[fmt.format(i) + ".weight"]) for i in range(step)])
 
-        def stack_dense(fmt):
+        def stack_b(fmt):
+            return np.stack([sd[fmt.format(i) + ".bias"] for i in range(step)])
+
+        def stack_dense_w(fmt):
             # 1x1 conv over a scalar "image" == Dense: (C,1,1,1) -> (1,C)
-            ws = np.stack([
+            return np.stack([
                 sd[fmt.format(i) + ".weight"].reshape(-1, 1).T for i in range(step)
             ])
-            bs = np.stack([sd[fmt.format(i) + ".bias"] for i in range(step)])
-            return {"kernel": ws, "bias": bs}
 
         p["residual_control"] = {
-            "stages": {
-                "conv1": stack_dense("ResidualControl.Conv1.{}.0.conv2d"),
-                "conv2": stack_dense("ResidualControl.Conv2.{}.0.conv2d"),
-                "conv3a": stack("ResidualControl.Conv3.{}.0.conv2d"),
-                "conv3b": stack("ResidualControl.Conv3.{}.1.conv2d"),
-                "conv4a": stack("ResidualControl.Conv4.{}.0.conv2d"),
-                "conv4b": stack("ResidualControl.Conv4.{}.1.conv2d"),
-                "conv5": stack("ResidualControl.Conv5.{}.0.conv2d"),
-            }
+            "d1": stack_dense_w("ResidualControl.Conv1.{}.0.conv2d"),
+            "d1_b": stack_b("ResidualControl.Conv1.{}.0.conv2d"),
+            "d2": stack_dense_w("ResidualControl.Conv2.{}.0.conv2d"),
+            "d2_b": stack_b("ResidualControl.Conv2.{}.0.conv2d"),
+            "conv3a": stack_w("ResidualControl.Conv3.{}.0.conv2d"),
+            "conv3a_b": stack_b("ResidualControl.Conv3.{}.0.conv2d"),
+            "conv3b": stack_w("ResidualControl.Conv3.{}.1.conv2d"),
+            "conv3b_b": stack_b("ResidualControl.Conv3.{}.1.conv2d"),
+            "conv4a": stack_w("ResidualControl.Conv4.{}.0.conv2d"),
+            "conv4a_b": stack_b("ResidualControl.Conv4.{}.0.conv2d"),
+            "conv4b": stack_w("ResidualControl.Conv4.{}.1.conv2d"),
+            "conv4b_b": stack_b("ResidualControl.Conv4.{}.1.conv2d"),
+            "conv5": stack_w("ResidualControl.Conv5.{}.0.conv2d"),
+            "conv5_b": stack_b("ResidualControl.Conv5.{}.0.conv2d"),
         }
 
     if "Modification.Conv1.conv2d.weight" in sd:
