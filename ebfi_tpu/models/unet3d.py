@@ -6,8 +6,18 @@ models/model_misc/resnet_3D.py (r3d_18 encoder, `bn=False` -> all
 batchnorms are identity, which is how the model is instantiated:
 model_singleframe.py:269).
 
-Layout: the two frames are stacked on a depth axis -> (B, T=2, H, W, C)
-NDHWC; all convs run through `lax.conv_general_dilated` in that layout.
+TPU-first layout: the temporal extent is always T=2 (the frame pair) and
+every temporal stride is 1, so the whole branch computes in a
+**T-packed** NHWC layout ``(B, H, W, 2C)`` = [t0-channels | t1-channels].
+Each 3-tap temporal conv becomes ONE 2D conv with a block-structured
+packed weight built on the fly from the ordinary (kd, kh, kw, I, O)
+parameters (checkpoint layout unchanged):
+
+    out_t = sum_dt W[dt+1] * x[t+dt]  (x outside {0,1} is zero)
+    => Wpk = [[W1, W0], [W2, W1]]  (input-major, output-minor blocks)
+
+This quadruples effective channel width (16->32 ... 64->128), cutting the
+lane-padding waste that made the small-channel 3D convs bandwidth-bound.
 """
 from __future__ import annotations
 
@@ -15,34 +25,156 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+from jax import lax
 
-from .layers import Conv3D, ConvTranspose3D, SEGating, kaiming_out_init, torch_default_bias_init
+from .layers import kaiming_out_init, torch_default_bias_init, torch_default_kernel_init
+
+
+def _pack_weight_t3(k: jax.Array) -> jax.Array:
+    """(3, kh, kw, I, O) temporal-3-tap kernel -> packed (kh, kw, 2I, 2O)."""
+    top = jnp.concatenate([k[1], k[0]], axis=-1)     # x0 -> [out0 | out1]
+    bot = jnp.concatenate([k[2], k[1]], axis=-1)     # x1 -> [out0 | out1]
+    return jnp.concatenate([top, bot], axis=-2)       # stack on input axis
+
+
+def _pack_weight_t1(k: jax.Array) -> jax.Array:
+    """(1, kh, kw, I, O) -> block-diagonal packed (kh, kw, 2I, 2O)."""
+    zero = jnp.zeros_like(k[0])
+    top = jnp.concatenate([k[0], zero], axis=-1)
+    bot = jnp.concatenate([zero, k[0]], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _pack(kernel: jax.Array) -> jax.Array:
+    kd = kernel.shape[0]
+    if kd == 3:
+        return _pack_weight_t3(kernel)
+    if kd == 1:
+        return _pack_weight_t1(kernel)
+    raise ValueError(f"unsupported temporal extent {kd}")
+
+
+def _concat_packed(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Channel-concat of two packed tensors, preserving [t0 | t1] halves."""
+    ca = a.shape[-1] // 2
+    cb = b.shape[-1] // 2
+    return jnp.concatenate(
+        [a[..., :ca], b[..., :cb], a[..., ca:], b[..., cb:]], axis=-1
+    )
+
+
+class _PConv(nn.Module):
+    """Packed conv3d (temporal stride 1): params identical to a torch
+    Conv3d (stored DHWIO), executed as one 2D conv on packed tensors."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    stride: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 2I)
+        Cin = x.shape[-1] // 2
+        kshape = (*self.kernel_size, Cin, self.features)
+        init = self.kernel_init or torch_default_kernel_init()
+        kernel = self.param("kernel", init, kshape)
+        wpk = _pack(kernel.astype(x.dtype))
+        y = lax.conv_general_dilated(
+            x, wpk, self.stride,
+            [(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            fan_in = Cin * int(np.prod(self.kernel_size))
+            bias = self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+            y = y + jnp.tile(bias.astype(x.dtype), 2)
+        return y
+
+
+class _PConvTranspose(nn.Module):
+    """Packed ConvTranspose3d, stride (1, 2, 2): spatial transposed conv via
+    input dilation, temporal taps packed (flipped, pad kd-1-pd=1)."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 4, 4)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 2I)
+        Cin = x.shape[-1] // 2
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
+            (*k, self.features, Cin),
+        )
+        flipped = jnp.flip(kernel, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)  # DHWIO
+        wpk = _pack(flipped.astype(x.dtype))
+        pads = [(k[1] - 1 - self.padding[1],) * 2, (k[2] - 1 - self.padding[2],) * 2]
+        y = lax.conv_general_dilated(
+            x, wpk, (1, 1), pads, lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        fan_in = Cin * int(np.prod(k))
+        bias = self.param("bias", torch_default_bias_init(fan_in), (self.features,))
+        return y + jnp.tile(bias.astype(x.dtype), 2)
+
+
+class _PSEGating(nn.Module):
+    """SEGating on packed tensors (resnet_3D.py:89-105): the reference
+    pools over (T, H, W), i.e. the mean of both packed halves."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 2C)
+        C = x.shape[-1] // 2
+        pooled = 0.5 * (
+            jnp.mean(x[..., :C], axis=(1, 2), keepdims=True)
+            + jnp.mean(x[..., C:], axis=(1, 2), keepdims=True)
+        )  # (B, 1, 1, C)
+        w = self.param("kernel", torch_default_kernel_init(), (1, 1, 1, C, C))
+        gate = (
+            jnp.einsum("bhwc,co->bhwo", pooled, w[0, 0, 0].astype(x.dtype))
+            + self.param("bias", torch_default_bias_init(C), (C,)).astype(x.dtype)
+        )
+        gate = nn.sigmoid(gate)
+        return x * jnp.tile(gate, (1, 1, 1, 2))
+
+
+# Keep the original param names so the checkpoint converter's Conv3D
+# sub-tree layout ("Conv3D_0": {kernel, bias}) is preserved.
+class _SEWrap(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return _PSEGating(name="Conv3D_0")(x)
 
 
 class _BasicBlock3D(nn.Module):
     """R3D BasicBlock with SEGating, bn-free (resnet_3D.py:108-141)."""
 
     planes: int
-    stride: Tuple[int, int, int] = (1, 1, 1)
+    stride: Tuple[int, int] = (1, 1)
     downsample: bool = False
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        out = Conv3D(
-            self.planes, (3, 3, 3), self.stride, (1, 1, 1), use_bias=False,
+        out = _PConv(
+            self.planes, (3, 3, 3), self.stride, (1, 1), use_bias=False,
             kernel_init=kaiming_out_init(), name="conv1",
         )(x)
         out = nn.relu(out)
-        out = Conv3D(
-            self.planes, (3, 3, 3), (1, 1, 1), (1, 1, 1), use_bias=False,
+        out = _PConv(
+            self.planes, (3, 3, 3), (1, 1), (1, 1), use_bias=False,
             kernel_init=kaiming_out_init(), name="conv2",
         )(out)
-        out = SEGating(name="fg")(out)
+        out = _SEWrap(name="fg")(out)
         if self.downsample:
-            residual = Conv3D(
-                self.planes, (1, 1, 1), self.stride, (0, 0, 0), use_bias=False,
+            residual = _PConv(
+                self.planes, (1, 1, 1), self.stride, (0, 0), use_bias=False,
                 kernel_init=kaiming_out_init(), name="downsample",
             )(x)
         return nn.relu(out + residual)
@@ -51,23 +183,23 @@ class _BasicBlock3D(nn.Module):
 class _Encoder3D(nn.Module):
     """r3d_18 (resnet_3D.py:218-327): stem + 4 layers of 2 BasicBlocks."""
 
-    channels: Sequence[int]  # e.g. (16, 24, 32, 64)
+    channels: Sequence[int]
 
     @nn.compact
-    def __call__(self, x):  # (B, T, H, W, 3)
+    def __call__(self, x):  # packed (B, H, W, 2*3)
         c0, c1, c2, c3 = self.channels
-        stem = Conv3D(
-            c0, (3, 7, 7), (1, 2, 2), (1, 3, 3), use_bias=False,
+        stem = _PConv(
+            c0, (3, 7, 7), (2, 2), (3, 3), use_bias=False,
             kernel_init=kaiming_out_init(), name="stem",
         )(x)
         x0 = nn.relu(stem)
         x1 = _BasicBlock3D(c0, name="layer1_0")(x0)
         x1 = _BasicBlock3D(c0, name="layer1_1")(x1)
-        x2 = _BasicBlock3D(c1, (1, 2, 2), downsample=True, name="layer2_0")(x1)
+        x2 = _BasicBlock3D(c1, (2, 2), downsample=True, name="layer2_0")(x1)
         x2 = _BasicBlock3D(c1, name="layer2_1")(x2)
-        x3 = _BasicBlock3D(c2, (1, 2, 2), downsample=True, name="layer3_0")(x2)
+        x3 = _BasicBlock3D(c2, (2, 2), downsample=True, name="layer3_0")(x2)
         x3 = _BasicBlock3D(c2, name="layer3_1")(x3)
-        x4 = _BasicBlock3D(c3, (1, 1, 1), downsample=True, name="layer4_0")(x3)
+        x4 = _BasicBlock3D(c3, (1, 1), downsample=True, name="layer4_0")(x3)
         x4 = _BasicBlock3D(c3, name="layer4_1")(x4)
         return x0, x1, x2, x3, x4
 
@@ -79,20 +211,19 @@ class _ConvSE(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = Conv3D(self.features, (3, 3, 3), (1, 1, 1), (1, 1, 1), name="conv")(x)
-        return SEGating(name="fg")(y)
+        y = _PConv(self.features, (3, 3, 3), (1, 1), (1, 1), name="conv")(x)
+        return _SEWrap(name="fg")(y)
 
 
 class _UpConvSE(nn.Module):
-    """upConv3D transpose mode: ConvTranspose3d + SEGating
-    (resnet_3D.py:382-405)."""
+    """upConv3D transpose mode (resnet_3D.py:382-405)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        y = ConvTranspose3D(self.features, (3, 4, 4), (1, 2, 2), (1, 1, 1), name="upconv")(x)
-        return SEGating(name="fg")(y)
+        y = _PConvTranspose(self.features, name="upconv")(x)
+        return _SEWrap(name="fg")(y)
 
 
 class UNet3d18(nn.Module):
@@ -106,23 +237,21 @@ class UNet3d18(nn.Module):
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         rc = list(self.channels)[::-1]  # e.g. [64, 32, 24, 16]
 
-        images = jnp.stack((img0, img1), axis=1)  # (B, 2, H, W, 3)
+        images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
         x0, x1, x2, x3, x4 = _Encoder3D(self.channels, name="encoder")(images)
 
         d3 = lrelu(_ConvSE(rc[1], name="dec0")(x4))
-        d3 = jnp.concatenate([d3, x3], axis=-1)
+        d3 = _concat_packed(d3, x3)
         d2 = lrelu(_UpConvSE(rc[2], name="dec1")(d3))
-        d2 = jnp.concatenate([d2, x2], axis=-1)
+        d2 = _concat_packed(d2, x2)
         d1 = lrelu(_UpConvSE(rc[3], name="dec2")(d2))
-        d1 = jnp.concatenate([d1, x1], axis=-1)
+        d1 = _concat_packed(d1, x1)
         d0 = lrelu(_ConvSE(rc[3], name="dec3")(d1))
-        d0 = jnp.concatenate([d0, x0], axis=-1)
+        d0 = _concat_packed(d0, x0)
         dout = lrelu(_UpConvSE(rc[3], name="dec4")(d0))
 
-        # unbind the depth axis and concat channels (model_singleframe.py:218)
-        B, T, H, W, C = dout.shape
-        dout = dout.transpose(0, 2, 3, 1, 4).reshape(B, H, W, T * C)
-
+        # packed [t0 | t1] IS the reference's unbind-then-concat layout
+        # (model_singleframe.py:218)
         fused = nn.Conv(
             rc[3], (1, 1), use_bias=False,
             kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),

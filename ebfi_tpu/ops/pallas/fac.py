@@ -50,10 +50,11 @@ def _fac_kernel(x_hbm, k_ref, o_ref, xbuf, sem, *, K, TH, W, C):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _pick_th(H: int, W: int, C: int, K: int, budget_bytes: int = 5 * 2**20) -> int:
+def _pick_th(H: int, W: int, C: int, K: int, itemsize: int,
+             budget_bytes: int = 2500 * 2**10) -> int:
     """Largest row-band TH dividing H whose bank block fits the budget
-    (the pipeline double-buffers it)."""
-    per_row = W * C * K * K * 2
+    (the pipeline double-buffers it; xbuf + f32 acc + out need room too)."""
+    per_row = W * C * K * K * itemsize
     for th in (16, 12, 10, 8, 6, 5, 4, 3, 2, 1):
         if H % th == 0 and th * per_row <= budget_bytes:
             return th
@@ -70,7 +71,7 @@ def _fac_forward(x: jax.Array, kernel: jax.Array, K: int) -> jax.Array:
     xp = jnp.pad(
         xp, ((0, 0), (0, 0), (0, wp8 - (W + K - 1)), (0, c128 - C))
     )
-    TH = _pick_th(H, W, C, K)
+    TH = _pick_th(H, W, C, K, x.dtype.itemsize)
     interpret = jax.default_backend() not in ("tpu", "axon")
     return pl.pallas_call(
         partial(_fac_kernel, K=K, TH=TH, W=W, C=C),
