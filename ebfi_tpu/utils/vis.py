@@ -100,6 +100,66 @@ def save_event_cnt(
     save_frame((img * 255).astype(np.uint8), path)
 
 
+def save_event_stack_grid(stack: np.ndarray, path: str, vmax: float = 10.0) -> None:
+    """Grid visualization of per-bin signed event images
+    (`plot_event_stack`, matplotlib_plot_events.py:81-124): blue/red
+    diverging per bin, bins tiled into a near-square grid."""
+    H, W, C = stack.shape
+    tb = C // 2
+    signed = stack.reshape(H, W, tb, 2)
+    signed = signed[..., 0] - signed[..., 1]  # pos - neg per bin
+    rows = int(np.sqrt(tb))
+    while tb % rows:
+        rows -= 1
+    cols = tb // rows
+    canvas = np.ones(((H + 2) * rows, (W + 2) * cols, 3))
+    for i in range(tb):
+        r, c = divmod(i, cols)
+        v = np.clip(signed[:, :, i] / vmax, -1, 1)
+        img = np.ones((H, W, 3))
+        img[..., 0] -= np.clip(v, 0, 1)          # positive -> blue (cut R,G)
+        img[..., 1] -= np.abs(v)
+        img[..., 2] -= np.clip(-v, 0, 1)         # negative -> red
+        canvas[r * (H + 2) : r * (H + 2) + H, c * (W + 2) : c * (W + 2) + W] = img
+    save_frame((np.clip(canvas, 0, 1) * 255).astype(np.uint8), path)
+
+
+def plot_event_cloud_3d(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    ts: np.ndarray,
+    ps: np.ndarray,
+    path: str,
+    max_points: int = 50_000,
+    elev: float = 20.0,
+    azim: float = -60.0,
+) -> None:
+    """3D event-cloud scatter (x, t, y) with polarity colors
+    (`plot_event_cloud`, matplotlib_plot_events.py:433+).  Subsamples to
+    `max_points`.  Requires matplotlib (gated)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(ts)
+    if n > max_points:
+        sel = np.linspace(0, n - 1, max_points).astype(int)
+        xs, ys, ts, ps = xs[sel], ys[sel], ts[sel], ps[sel]
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(projection="3d")
+    colors = np.where(ps.reshape(-1, 1) > 0, [[1.0, 0.0, 0.0]], [[0.0, 0.0, 1.0]])
+    ax.scatter(xs, ts, ys, c=colors, s=0.5, alpha=0.5)
+    ax.set_xlabel("x")
+    ax.set_ylabel("t")
+    ax.set_zlabel("y")
+    ax.view_init(elev=elev, azim=azim)
+    ax.invert_zaxis()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def stack_to_cnt(stack: np.ndarray) -> np.ndarray:
     """(H, W, 2*TB) bin-major flattened stack -> HxWx2 polarity counts
     (`stack2cnt` analogue, encodings.py:412-430)."""
