@@ -44,6 +44,15 @@ def dp_shardings(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding]:
     return NamedSharding(mesh, P("data")), NamedSharding(mesh, P())
 
 
+def spatial_shardings(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding]:
+    """(activation_sharding, replicated) for spatial parallelism: NHWC
+    activations split along H over the ``model`` axis (batch stays on
+    ``data``).  XLA's SPMD partitioner inserts the halo exchanges for the
+    convolutions automatically — this is how a single 720p frame is spread
+    over several chips when latency (not batch throughput) matters."""
+    return NamedSharding(mesh, P("data", "model")), NamedSharding(mesh, P())
+
+
 def local_shard_info(mesh: Mesh) -> Tuple[int, int]:
     """(shard_index, num_shards) for the host data pipeline: one shard per
     process (multi-host) — the in-process mesh axis is fed by a single

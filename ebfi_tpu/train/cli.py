@@ -183,9 +183,13 @@ def main(argv=None):
         detail = (model_cfg.get("args") or {}).get(
             "DetailEnabled", (model_cfg.get("args") or {}).get("detail_enabled", True)
         )
+        compute_dtype = (
+            jnp.bfloat16 if tcfg.get("precision", "f32") == "bf16" else None
+        )
         trainer = Trainer(
             cp, model, state,
-            make_train_step(model, mesh=mesh, detail_enabled=bool(detail)),
+            make_train_step(model, mesh=mesh, detail_enabled=bool(detail),
+                            compute_dtype=compute_dtype),
             make_eval_step(model, mesh=mesh),
             train_loader, valid_loader, writer=writer, batch_sharding=batch_sh,
             model_name=model_name,

@@ -56,12 +56,25 @@ def _pair_loss(pred, target):
     return laplacian_loss(pred, target) + census_loss(pred, target)
 
 
-def make_loss_fn(detail_enabled: bool, phase_switch_iter: int = 10_000):
+def make_loss_fn(
+    detail_enabled: bool,
+    phase_switch_iter: int = 10_000,
+    compute_dtype=None,
+):
     def loss_fn(params, apply_fn, batch, step):
+        target = batch["target"]
+        if compute_dtype is not None:
+            # mixed precision: bf16 forward/backward, f32 master params &
+            # loss reductions (grads of the cast are f32 automatically)
+            from ..utils.precision import tree_to_dtype
+
+            params = tree_to_dtype(params, compute_dtype)
+            batch = tree_to_dtype(batch, compute_dtype)
         sharp, final = apply_fn(
             params, batch["frame"], batch["event"], batch["t"], batch.get("gt_ex")
         )
-        target = batch["target"]
+        sharp = sharp.astype(jnp.float32)
+        final = final.astype(jnp.float32)
         if detail_enabled:
             early = step < phase_switch_iter
             w_final = jnp.where(early, 0.1, 1.0)
@@ -80,13 +93,15 @@ def make_train_step(
     detail_enabled: bool = True,
     phase_switch_iter: int = 10_000,
     donate: bool = True,
+    compute_dtype=None,
 ):
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: frame (B,H,W,3), event (B,H,W,2TB), t (B,1), gt_ex (B,1) or
-    absent, target (B,H,W,3).
+    absent, target (B,H,W,3).  compute_dtype=jnp.bfloat16 enables
+    mixed-precision training (f32 master params).
     """
-    loss_fn = make_loss_fn(detail_enabled, phase_switch_iter)
+    loss_fn = make_loss_fn(detail_enabled, phase_switch_iter, compute_dtype)
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

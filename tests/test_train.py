@@ -80,6 +80,28 @@ def test_dp_train_step_runs_and_improves(clip, rng):
     assert np.isfinite(float(m["valid_loss"]))
 
 
+def test_mixed_precision_train_step(clip, rng):
+    """bf16 forward/backward with f32 master params: runs + improves."""
+    model = tiny_model()
+    B, H, W, TB = 2, 32, 32, 4
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    ex = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), frame, event, t, ex)
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+    state = create_train_state(model, params, tx)
+    step = make_train_step(model, compute_dtype=jnp.bfloat16, donate=False)
+    batch = {"frame": frame, "event": event, "t": t, "gt_ex": ex, "target": frame}
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train_loss"]))
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+    # master params stayed f32
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
+
+
 def test_trainer_loop_with_loader(clip, tmp_path):
     """Three iterations through the real Trainer + loader + checkpoints."""
     from ebfi_tpu.train.config import ConfigParser
