@@ -14,11 +14,10 @@ conv levels run as row-wise im2col matmuls on the MXU with the activations
 and residual/scale algebra fused in-register, and only the stage output is
 written back — one HBM round-trip per stage instead of ~14.
 
-Weight layout (prepared by the wrapper): per level an im2col matrix
-  Wa: (9*C, 2C)  — conv3a | conv4a merged on the output axis
-  W3b, W4b: (9*C, C)
-  W5: (9*2C, C)
-with tap order (dy*3+dx) major, input channel minor.
+Weight layout: the public entry takes the stage's im2col matrices
+(Wa (9C, 2C) merged conv3a|conv4a, W3b/W4b (9C, C), W5 (18C, C); tap order
+(dy*3+dx) major, input channel minor); internally every matrix is split so
+each MXU dot has K = C and no lane-concats are required.
 
 Numerical note: matmuls accumulate in f32; elementwise runs in f32;
 output cast back to the input dtype.  Parity with the XLA stage is

@@ -193,11 +193,26 @@ class Trainer:
 
     def _log(self, it: int, metrics):
         if it % self.train_log_step == 0:
+            import time
+
             loss = float(metrics["train_loss"])
             self.train_metrics.update("train_loss", loss)
+            now = time.perf_counter()
+            sps = None
+            if getattr(self, "_last_log", None) is not None:
+                dt = now - self._last_log[1]
+                if dt > 0:
+                    sps = (it - self._last_log[0]) / dt
+            self._last_log = (it, now)
             if self.writer is not None:
                 self.writer.add_scalar("train_loss", loss, it)
-            self.logger.info(f"Iteration: {it}/{self.iterations} train_loss: {loss:.4e}")
+                if sps is not None:
+                    # steps_per_sec auto-metric (logger/visualization.py:44-50)
+                    self.writer.add_scalar("steps_per_sec", sps, it)
+            msg = f"Iteration: {it}/{self.iterations} train_loss: {loss:.4e}"
+            if sps is not None:
+                msg += f" steps/sec: {sps:.2f}"
+            self.logger.info(msg)
 
     def _log_images(self, it: int, batch) -> None:
         """TB image panels: events / blurry / sharp / gt
