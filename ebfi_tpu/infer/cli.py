@@ -245,6 +245,9 @@ def infer_clip(
 
 def main(argv=None):
     flags = get_flags(argv)
+    from ..utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     cfg = apply_flag_overrides(default_dataloader_config(), flags)
     os.makedirs(flags.output_path, exist_ok=True)
 

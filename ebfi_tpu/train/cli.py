@@ -75,6 +75,9 @@ def make_writer(log_dir: str):
 
 def main(argv=None):
     cp = ConfigParser.from_args(argv)
+    from ..utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     init_seeds(cp.config.get("seed", 0) + jax.process_index())
     logger = logging.getLogger("train")
 
