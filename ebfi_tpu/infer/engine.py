@@ -32,7 +32,7 @@ class InferenceEngine:
         model: EVFIAutoEx,
         params,
         precision: str = "f32",
-        multi_chunk: int = 4,
+        multi_chunk: int = 8,
     ):
         self.model = model
         self.params = params
