@@ -107,12 +107,17 @@ class EBFIDataLoader:
         batches = [
             order[b * self.batch_size : (b + 1) * self.batch_size] for b in range(nb)
         ]
-        with cf.ThreadPoolExecutor(self.num_threads) as pool:
+        # Not a context manager: abandoning the generator mid-epoch must not
+        # block (or crash at interpreter teardown) on a joining pool.
+        pool = cf.ThreadPoolExecutor(self.num_threads)
+        try:
             futures = [
                 [pool.submit(self._fetch, i) for i in batch] for batch in batches
             ]
             for fb in futures:
                 yield collate([f.result() for f in fb])
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def device_prefetch(iterator, n_prefetch: int = 2, sharding=None):
