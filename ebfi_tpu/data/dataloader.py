@@ -117,7 +117,12 @@ class EBFIDataLoader:
             for fb in futures:
                 yield collate([f.result() for f in fb])
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # abandoned generators may be finalized during interpreter
+                # shutdown when concurrent.futures internals are already gone
+                pass
 
 
 def device_prefetch(iterator, n_prefetch: int = 2, sharding=None):
