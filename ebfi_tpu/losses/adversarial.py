@@ -16,8 +16,7 @@ same discriminator-update + generator-loss recipes as adversarial.py:94-167
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ since the reference never runs its discriminators in eval mode.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ channel order (x, y) like the reference's flow maps.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,15 +16,12 @@ raw op's interleaved layout as-is (dcn_v2.py:181-186).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from .dcn_v2 import dcn_v2_conv
-from ..models.layers import torch_default_kernel_init
 
 
 class DCNv2Module(nn.Module):
