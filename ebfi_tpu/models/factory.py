@@ -56,7 +56,9 @@ def _translate(args: Dict, keymap: Dict[str, str], ignored: set) -> Dict:
             out[k] = v  # already snake_case
     if "channels" in out and out["channels"] is not None:
         out["channels"] = tuple(out["channels"])
-    out.pop("frozen_ex", None)  # freezing is an optimizer-mask concern
+    # frozen_ex passes through as a module field for introspection; the
+    # actual freezing is an optimizer concern (optim.subtree_freeze_labels,
+    # wired in train/cli.py from the same key).
     return out
 
 

@@ -65,15 +65,20 @@ def dcn_v2_im2col(
         raise ValueError(f"Cin={C} not divisible by deformable_groups={DG}")
     Cg = C // DG
 
-    off = offset.reshape(B, Ho, Wo, DG, Kh * Kw, 2)
+    # Coordinate math runs in (at least) f32 even for bf16 inputs: sampling
+    # positions reach H/W in magnitude, and the fractional parts
+    # ``lh = h_im - floor(h_im)`` vanish entirely at bf16 resolution
+    # (~2 ulp at 360).  Only the gathered *values* stay in the input dtype.
+    coord_dtype = jnp.promote_types(offset.dtype, jnp.float32)
+    off = offset.astype(coord_dtype).reshape(B, Ho, Wo, DG, Kh * Kw, 2)
     msk = mask.reshape(B, Ho, Wo, DG, Kh * Kw)
 
     # Flattened-spatial view for gathers, grouped by deformable group.
     xf = x.reshape(B, H * W, DG, Cg)
 
     # Base sampling grid (static).
-    hs = jnp.arange(Ho, dtype=x.dtype) * Sh - Ph            # (Ho,)
-    ws = jnp.arange(Wo, dtype=x.dtype) * Sw - Pw            # (Wo,)
+    hs = jnp.arange(Ho, dtype=coord_dtype) * Sh - Ph            # (Ho,)
+    ws = jnp.arange(Wo, dtype=coord_dtype) * Sw - Pw            # (Wo,)
 
     cols = []
     for i in range(Kh):
@@ -111,7 +116,7 @@ def dcn_v2_im2col(
                 flat = (hcc * W + wcc).reshape(B, Ho * Wo, DG)  # (B, HoWo, DG)
                 v = jnp.take_along_axis(xf, flat[..., None], axis=1)  # (B, HoWo, DG, Cg)
                 v = v.reshape(B, Ho, Wo, DG, Cg)
-                w_eff = jnp.where(corner_valid, wt, 0.0)[..., None]
+                w_eff = jnp.where(corner_valid, wt, 0.0).astype(x.dtype)[..., None]
                 val = v * w_eff if val is None else val + v * w_eff
 
             val = jnp.where(tap_valid[..., None], val, 0.0)
@@ -143,11 +148,13 @@ def dcn_v2_conv(
         x, offset, mask, (Kh, Kw), stride, padding, dilation, deformable_groups
     )
     wmat = weight.reshape(Cout, Cin, Kh * Kw)
+    # accumulate at least in f32 (bf16 inputs), full width for f64 gradchecks
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     out = jnp.einsum(
         "bhwck,ock->bhwo",
         cols,
         wmat,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_dtype,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(x.dtype)
     if bias is not None:

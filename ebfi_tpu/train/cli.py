@@ -117,10 +117,15 @@ def main(argv=None):
     tcfg = cp["trainer"]
     accu = int(tcfg.get("accu_step", 1))
     lr_change = int(tcfg.get("iteration_based_train", {}).get("lr_change_rate", 1))
+    # FrozenEX (model_singleframe.py:51-54, train_ours.py:181-185): the
+    # pretrained ExposureDecision subtree receives zero updates in stage 2.
+    margs = model_cfg.get("args") or {}
+    frozen_ex = bool(margs.get("FrozenEX", margs.get("frozen_ex", False)))
     tx, _ = build_optimizer(
         cp["optimizer"], cp.get("lr_scheduler"),
         lr_min=float(tcfg.get("lr_min", 0.0)),
         lr_change_rate=lr_change, accumulate_steps=accu,
+        freeze_subtree="exposure_decision" if (frozen_ex and not exposure_only) else None,
     )
 
     # init params at a small spatial size (params are resolution-independent)

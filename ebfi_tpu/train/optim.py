@@ -56,14 +56,40 @@ def build_lr_schedule(
     raise ValueError(f"Unknown lr_scheduler {name}")
 
 
+def subtree_freeze_labels(frozen_key: str) -> Callable:
+    """params -> {"trainable"|"frozen"} label tree for optax.multi_transform.
+
+    Every leaf under any dict key equal to `frozen_key` (at any depth) is
+    labeled "frozen".  Used for the reference's FrozenEX: the pretrained
+    ExposureDecision subnet is frozen during stage-2 training
+    (model_singleframe.py:51-54, wired via train_ours.py:181-185).
+    """
+
+    def walk(node, frozen):
+        if isinstance(node, dict):
+            return {k: walk(v, frozen or k == frozen_key) for k, v in node.items()}
+        return "frozen" if frozen else "trainable"
+
+    def label_fn(params):
+        if hasattr(params, "unfreeze"):  # flax FrozenDict
+            params = params.unfreeze()
+        return walk(dict(params), False)
+
+    return label_fn
+
+
 def build_optimizer(
     optimizer_cfg: dict,
     scheduler_cfg: Optional[dict] = None,
     lr_min: float = 0.0,
     lr_change_rate: int = 1,
     accumulate_steps: int = 1,
+    freeze_subtree: Optional[str] = None,
 ) -> Tuple[optax.GradientTransformation, Callable[[int], float]]:
-    """(tx, schedule).  Supported names: Adam, AdamW, SGD, Adamax, RMSprop."""
+    """(tx, schedule).  Supported names: Adam, AdamW, SGD, Adamax, RMSprop.
+
+    `freeze_subtree`: name of a param-dict key whose whole subtree receives
+    zero updates (FrozenEX — see subtree_freeze_labels)."""
     name = optimizer_cfg["name"]
     args = dict(optimizer_cfg.get("args", {}))
     base_lr = float(args.pop("lr", 1e-4))
@@ -96,6 +122,11 @@ def build_optimizer(
     else:
         raise ValueError(f"Unknown optimizer {name}")
 
+    if freeze_subtree:
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()},
+            subtree_freeze_labels(freeze_subtree),
+        )
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx, schedule

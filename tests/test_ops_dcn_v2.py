@@ -102,34 +102,58 @@ def test_zero_offset_is_dense_conv(rng):
 
 
 def test_gradients_numeric(rng):
-    """Finite-difference check of input/offset/mask/weight grads (away from
-    the non-differentiable integer-offset points)."""
+    """Float64 finite-difference check of input/offset/mask/weight grads.
+
+    The reference gradchecks DCN in double precision
+    (models/DCNv2/testcuda.py:69-95); f32 FD at eps 1e-3 is marginal by
+    construction and was flaky across full-suite runs.  x64 is enabled
+    locally (conftest keeps the suite in f32)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def enable_x64():
+        prev = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+
     x, offset, mask, weight, bias = make_inputs(rng, B=1, C=2, H=4, W=4, Cout=2, K=3, dg=1,
                                                 off_scale=0.37)
-    cot = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+    x, offset, mask, weight, bias = (
+        a.astype(np.float64) for a in (x, offset, mask, weight, bias)
+    )
+    cot = rng.standard_normal((1, 2, 4, 4))
 
-    @jax.jit
-    def f(x_, o_, m_, w_):
-        out = dcn_v2_conv(
-            jnp.asarray(x_).transpose(0, 2, 3, 1),
-            jnp.asarray(o_).transpose(0, 2, 3, 1),
-            jnp.asarray(m_).transpose(0, 2, 3, 1),
-            w_, jnp.asarray(bias), 1, 1, 1, 1,
-        )
-        return jnp.sum(out.transpose(0, 3, 1, 2) * cot)
+    with enable_x64():
+        @jax.jit
+        def f(x_, o_, m_, w_):
+            out = dcn_v2_conv(
+                jnp.asarray(x_).transpose(0, 2, 3, 1),
+                jnp.asarray(o_).transpose(0, 2, 3, 1),
+                jnp.asarray(m_).transpose(0, 2, 3, 1),
+                w_, jnp.asarray(bias), 1, 1, 1, 1,
+            )
+            return jnp.sum(out.transpose(0, 3, 1, 2) * jnp.asarray(cot))
 
-    grads = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(x, offset, mask, weight)
-    eps = 1e-3
-    for argi, arr in enumerate((x, offset, mask, weight)):
-        g = np.asarray(grads[argi])
-        flat = arr.reshape(-1)
-        idxs = rng.choice(flat.size, size=5, replace=False)
-        for ix in idxs:
-            pert = flat.copy(); pert[ix] += eps
-            fp = f(*[pert.reshape(arr.shape) if i == argi else a
-                     for i, a in enumerate((x, offset, mask, weight))])
-            pert[ix] -= 2 * eps
-            fm = f(*[pert.reshape(arr.shape) if i == argi else a
-                     for i, a in enumerate((x, offset, mask, weight))])
-            num = (float(fp) - float(fm)) / (2 * eps)
-            np.testing.assert_allclose(g.reshape(-1)[ix], num, rtol=2e-2, atol=2e-2)
+        grads = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(x, offset, mask, weight)
+        eps = 1e-5
+        for argi, arr in enumerate((x, offset, mask, weight)):
+            g = np.asarray(grads[argi])
+            idxs = rng.choice(arr.size, size=5, replace=False)
+            for ix in idxs:
+                # two distinct, simultaneously-alive buffers: mutating one
+                # numpy array in place between calls can hit JAX's
+                # id-keyed ndarray->device conversion cache and silently
+                # reuse the previous contents (the round-1 flake)
+                pp = arr.copy(); pp.reshape(-1)[ix] += eps
+                pm = arr.copy(); pm.reshape(-1)[ix] -= eps
+                fp = f(*[pp if i == argi else a
+                         for i, a in enumerate((x, offset, mask, weight))])
+                fm = f(*[pm if i == argi else a
+                         for i, a in enumerate((x, offset, mask, weight))])
+                num = (float(fp) - float(fm)) / (2 * eps)
+                np.testing.assert_allclose(
+                    g.reshape(-1)[ix], num, rtol=1e-5, atol=1e-8
+                )

@@ -102,6 +102,48 @@ def test_mixed_precision_train_step(clip, rng):
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
 
 
+def test_frozen_ex_keeps_exposure_params_bit_identical(rng):
+    """FrozenEX (model_singleframe.py:51-54, train_ours.py:181-185): stage-2
+    training with the freeze on leaves the ExposureDecision subtree
+    bit-identical while every other subtree trains."""
+    model = EVFIAutoEx(
+        frame_basech=8, event_basech=8, inter_ch=8, tb=4,
+        use_gt_ex=False, blurry_fashion="RGBLap", bl_in=4,
+        step=2, channels=(4, 6, 8, 12), frozen_ex=True,
+    )
+    B, H, W, TB = 2, 32, 32, 4
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(np.abs(rng.standard_normal((B, H, W, 2 * TB))).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), frame, event, t)
+
+    tx, _ = build_optimizer(
+        {"name": "Adam", "args": {"lr": 1e-3}}, freeze_subtree="exposure_decision"
+    )
+    state = create_train_state(model, params, tx)
+    step = make_train_step(model, donate=False)
+    batch = {"frame": frame, "event": event, "t": t, "target": frame}
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    before = params["params"]["exposure_decision"]
+    after = state.params["params"]["exposure_decision"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        before, after,
+    )
+    # ...and the rest did train
+    moved = [
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for k in params["params"] if k != "exposure_decision"
+        for a, b in zip(
+            jax.tree.leaves(params["params"][k]),
+            jax.tree.leaves(state.params["params"][k]),
+        )
+    ]
+    assert any(moved)
+
+
 def test_trainer_loop_with_loader(clip, tmp_path):
     """Three iterations through the real Trainer + loader + checkpoints."""
     from ebfi_tpu.train.config import ConfigParser
