@@ -6,18 +6,19 @@ directory of frame folders (e.g. GoPro 240fps PNG sequences), simulates
 events with randomized per-sequence contrast thresholds
 (syn_gopro.py:15-27: Cp/Cn ~ U[0.2, 0.5]), and packages multiscale H5.
 
-The reference simulates with esim_py and optionally SuperSloMo-upsamples
-first; neither external dependency is available here, so:
+The reference simulates with esim_py and SuperSloMo-upsamples first
+(generate_dataset/upsampling/utils/upsampler.py:160-210):
 - event simulation uses the built-in ESIM-lite threshold-crossing
   simulator (ebfi_tpu/data/synth.py) — same event model, no refractory
   period;
-- adaptive upsampling is approximated by linear frame interpolation with
-  `--upsample_factor N` (the SuperSloMo checkpoint path can be wired in
-  later without changing the H5 contract).
+- adaptive upsampling: pass `--slomo_ckpt SuperSloMo.ckpt` to use the
+  JAX SuperSloMo port (ebfi_tpu/models/superslomo.py; per-pair insertion
+  count = ceil(max flow magnitude), exactly the reference's policy), or
+  `--upsample_factor N` for fixed-rate linear interpolation.
 
 Usage:
   python tools/generate_dataset.py --input_dir /path/to/seqs \
-      --output_dir /path/to/h5 --fps 240
+      --output_dir /path/to/h5 --fps 240 [--slomo_ckpt SuperSloMo.ckpt]
 """
 from __future__ import annotations
 
@@ -57,12 +58,23 @@ def upsample_linear(frames: np.ndarray, factor: int) -> np.ndarray:
     return np.stack(out)
 
 
+def upsample_slomo(frames: np.ndarray, ts: np.ndarray, ckpt: str):
+    """Adaptive SuperSloMo upsampling (upsampler.py:100-134 policy)."""
+    from ebfi_tpu.models.superslomo import SuperSloMo, convert_torch_checkpoint
+
+    slomo = SuperSloMo(convert_torch_checkpoint(ckpt))
+    up, up_ts = slomo.upsample_sequence(frames.astype(np.float32) / 255.0, ts)
+    return (up * 255.0 + 0.5).astype(np.uint8), np.asarray(up_ts)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--input_dir", required=True, help="dir of sequence dirs")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--fps", type=float, default=240.0)
     p.add_argument("--upsample_factor", type=int, default=1)
+    p.add_argument("--slomo_ckpt", default=None,
+                   help="SuperSloMo.ckpt for adaptive upsampling")
     p.add_argument("--contrast_min", type=float, default=0.2)
     p.add_argument("--contrast_max", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
@@ -75,8 +87,12 @@ def main():
         name = os.path.basename(seq)
         out = os.path.join(flags.output_dir, f"{name}.h5")
         frames = read_frames(seq)
-        frames = upsample_linear(frames, flags.upsample_factor)
-        ts = np.arange(len(frames)) / (flags.fps * flags.upsample_factor)
+        if flags.slomo_ckpt:
+            ts0 = np.arange(len(frames)) / flags.fps
+            frames, ts = upsample_slomo(frames, ts0, flags.slomo_ckpt)
+        else:
+            frames = upsample_linear(frames, flags.upsample_factor)
+            ts = np.arange(len(frames)) / (flags.fps * flags.upsample_factor)
         # randomized per-sequence contrast threshold (syn_gopro.py:80-118)
         ct = float(rng.uniform(flags.contrast_min, flags.contrast_max))
         rgb = frames[:, :, :, ::-1]

@@ -1,0 +1,113 @@
+"""Per-component timing of the EVFIAutoEx forward at 720p on device.
+
+Measures trunk, residual_control, modification (FAC), reconstruction, and
+detail separately (each jitted standalone), plus the full engine.interpolate
+path, to locate the per-output-frame hot spots.  Run on the real TPU:
+
+    python tools/profile_tail.py [--chunk 8] [--steps 12]
+"""
+import argparse
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, iters=5, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        # axon tunnel: force a device_get sync
+        float(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        float(jax.tree.leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--precision", default="bf16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    from ebfi_tpu.models import EVFIAutoEx
+    from ebfi_tpu.utils.precision import to_bf16
+
+    model = EVFIAutoEx(
+        frame_basech=64, event_basech=64, inter_ch=64, tb=16,
+        blurry_fashion="RGBLap", bl_in=4, step=args.steps, dual_path=True,
+        residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
+    )
+    rng = np.random.default_rng(0)
+    B, H, W, TB = 1, 720, 1280, 16
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(np.abs(rng.standard_normal((B, H, W, 2 * TB))).astype(np.float32))
+    ts = jnp.asarray(np.full((B, 1), 0.3, np.float32))
+    params = model.init(jax.random.key(0), frame[:, :64, :64], event[:, :64, :64], ts)
+
+    cp = to_bf16(params) if args.precision == "bf16" else params
+    cast = (lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)) if args.precision == "bf16" else (lambda t: t)
+    CH = args.chunk
+
+    # trunk once at B=1 (padded 720p -> 720x1280 already /8-able)
+    trunk_fn = jax.jit(lambda f, e: model.apply(cp, f, e, None, method=EVFIAutoEx.features))
+    frame_b, event_b = cast((frame, event))
+    t_trunk = timed(trunk_fn, frame_b, event_b)
+    trunk = trunk_fn(frame_b, event_b)
+    frame_feat, event_feat, ex, frame_p = trunk
+
+    # tail parts at batch=chunk (the engine folds timestamps into batch)
+    rep = lambda x: jnp.repeat(x, CH, axis=0)
+    ff, ef, exr, fp = rep(frame_feat), rep(event_feat), rep(ex), rep(frame_p)
+    tcol = jnp.full((CH, 1), 0.3, ff.dtype)
+
+    rc_fn = jax.jit(lambda e, x, t: model.apply(cp, e, x, t, method=lambda m, e_, x_, t_: m.residual_control(e_, x_, t_)))
+    t_rc = timed(rc_fn, ef, exr, tcol)
+    pev = rc_fn(ef, exr, tcol)
+
+    mod_fn = jax.jit(lambda f, e: model.apply(cp, f, e, method=lambda m, f_, e_: m.modification(f_, e_)))
+    t_mod = timed(mod_fn, ff, pev)
+    pfr = mod_fn(ff, pev)
+
+    def recon(m, x):
+        from ebfi_tpu.ops import pixel_shuffle
+        import flax.linen as nn
+        up = pixel_shuffle(m.recon_up(x), 2)
+        up = nn.leaky_relu(up, 0.01)
+        return m.recon_out(m.recon_mid(up))
+    recon_fn = jax.jit(lambda x: model.apply(cp, x, method=recon))
+    t_recon = timed(recon_fn, pfr)
+    sharp = recon_fn(pfr)
+
+    det_fn = jax.jit(lambda f, s: model.apply(cp, f, s, method=lambda m, f_, s_: m.detail(f_, s_)))
+    t_det = timed(det_fn, fp, sharp)
+
+    # full engine
+    from ebfi_tpu.infer import InferenceEngine
+    NUM_I = 16
+    tsN = jnp.asarray(np.linspace(0, 1, NUM_I, dtype=np.float32)[None])
+    eng = InferenceEngine(model, params, precision=args.precision, multi_chunk=CH)
+    t_eng = timed(lambda: eng.interpolate(frame, event, tsN))
+    fps = NUM_I / t_eng
+
+    print(f"chunk={CH} steps={args.steps} precision={args.precision}")
+    print(f"trunk (B=1):            {t_trunk*1e3:8.2f} ms")
+    print(f"residual_control (B={CH}): {t_rc*1e3:8.2f} ms = {t_rc/CH*1e3:6.2f} ms/frame")
+    print(f"modification/FAC (B={CH}): {t_mod*1e3:8.2f} ms = {t_mod/CH*1e3:6.2f} ms/frame")
+    print(f"reconstruction (B={CH}):   {t_recon*1e3:8.2f} ms = {t_recon/CH*1e3:6.2f} ms/frame")
+    print(f"detail UNet3d (B={CH}):    {t_det*1e3:8.2f} ms = {t_det/CH*1e3:6.2f} ms/frame")
+    parts = t_trunk / NUM_I + (t_rc + t_mod + t_recon + t_det) / CH
+    print(f"sum of parts per frame: {parts*1e3:8.2f} ms")
+    print(f"engine.interpolate x{NUM_I}: {t_eng*1e3:8.2f} ms -> {fps:.2f} fps")
+
+
+if __name__ == "__main__":
+    main()
