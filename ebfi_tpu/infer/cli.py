@@ -18,6 +18,7 @@ full forwards, several times the throughput.
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 from collections import defaultdict
 from typing import Dict, List, Optional
@@ -174,7 +175,10 @@ def infer_clip(
     for p in (blurry_path, event_path, gt_path, restored_path):
         os.makedirs(p, exist_ok=False)
 
-    track = MetricTracker(["mse", "psnr", "ssim", "lpips"])
+    # only track metrics that will actually be computed — a never-updated
+    # key would surface as a misleading 0.0 in the result YAMLs
+    keys = ["mse", "psnr", "ssim"] + (["lpips"] if metrics.get("lpips") else [])
+    track = MetricTracker(keys)
     psnr_steps: List[float] = []
 
     iL = -1
@@ -251,9 +255,23 @@ def main(argv=None):
     cfg = apply_flag_overrides(default_dataloader_config(), flags)
     os.makedirs(flags.output_path, exist_ok=True)
 
+    # LPIPS: the linear heads default to the reference's vendored v0.1
+    # alex heads (shipped pre-converted); a REAL alexnet backbone must be
+    # supplied via --alexnet_weights.  Without one the metric would use
+    # random features — self-consistent but meaningless next to published
+    # numbers — so it is omitted from the result YAMLs rather than written
+    # silently (the reference always has the torchvision backbone:
+    # loss/PerceptualSimilarity/models/dist_model.py).
     lpips = None
     if flags.lpips_weights or flags.alexnet_weights:
         lpips = LPIPS(load_lpips_params(flags.lpips_weights, flags.alexnet_weights))
+        if not lpips.comparable:
+            logging.getLogger(__name__).warning(
+                "LPIPS requested without --alexnet_weights: the backbone "
+                "would be random features, so LPIPS is omitted from result "
+                "files. Provide a torchvision alexnet state_dict to enable it."
+            )
+            lpips = None
     metrics = {"lpips": lpips}
 
     model, engine = load_model(flags.model_path, precision=flags.precision)

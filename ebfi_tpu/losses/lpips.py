@@ -6,16 +6,20 @@ channel-unit-normalize -> squared diff -> 1x1 linear heads -> spatial mean
 -> sum over layers), used as the inference metric (infer_ours.py:353,
 restore.py:11-40).
 
-Weights: the linear heads ship with the reference ("alex.pth", ~6KB); the
-alexnet backbone comes from torchvision's pretrained model, which is not
-redistributable here.  `load_lpips_params` converts both from torch
-checkpoints when paths are provided; without a backbone checkpoint the
-metric falls back to deterministic random features (useful for pipeline
-plumbing/tests, NOT for reporting comparable numbers — it warns).
+Weights: the reference's vendored v0.1 linear heads ("alex.pth") ship with
+this package pre-converted (`lpips_alex_linear.npz`, loaded by default);
+the alexnet backbone comes from torchvision's pretrained model, which is
+not in-image.  `load_lpips_params` converts a torch backbone checkpoint
+when a path is provided; without one the metric falls back to
+deterministic random features.  The returned LPIPS object then reports
+``comparable == False`` — callers (the infer CLI) must omit or tag such
+values rather than writing them into result files as if they were
+published-comparable LPIPS numbers.
 """
 from __future__ import annotations
 
 import logging
+import os
 from typing import Optional
 
 import jax
@@ -74,6 +78,10 @@ class LPIPS:
     restore.py:19-40)."""
 
     def __init__(self, params: dict):
+        params = dict(params)
+        # provenance flag (set by load_lpips_params): random-feature
+        # backbones produce self-consistent but non-comparable values
+        self.comparable = bool(params.pop("_real_backbone", False))
         self.params = params
         self._fn = jax.jit(self._distance)
 
@@ -101,11 +109,15 @@ def load_lpips_params(
     """Build LPIPS params from torch checkpoints.
 
     linear_path: the reference's `alex.pth` linear heads
-      (keys ``lin{i}.model.1.weight`` of shape (1, C, 1, 1)).
+      (keys ``lin{i}.model.1.weight`` of shape (1, C, 1, 1)); defaults to
+      the pre-converted copy shipped with the package.
     backbone_path: a torchvision alexnet state_dict
       (keys ``features.{0,3,6,8,10}.{weight,bias}``).
+
+    The result carries ``_real_backbone`` so LPIPS can report whether its
+    values are comparable to published numbers.
     """
-    params: dict = {}
+    params: dict = {"_real_backbone": backbone_path is not None}
     rng = np.random.default_rng(seed)
 
     if backbone_path is not None:
@@ -143,7 +155,10 @@ def load_lpips_params(
             w = lin[f"lin{i}.model.1.weight"].numpy().reshape(-1)  # (C,)
             params[f"lin{i}_w"] = jnp.asarray(np.maximum(w, 0))
     else:
-        for i, (cout, _, _, _) in enumerate(_ALEX_CONVS):
-            params[f"lin{i}_w"] = jnp.full((cout,), 1.0 / cout, jnp.float32)
+        # default: the reference's vendored v0.1 heads, pre-converted
+        packed = os.path.join(os.path.dirname(__file__), "lpips_alex_linear.npz")
+        heads = np.load(packed)
+        for i in range(5):
+            params[f"lin{i}_w"] = jnp.asarray(np.maximum(heads[f"lin{i}"], 0))
 
     return params

@@ -139,11 +139,25 @@ def test_ssim_against_direct_loop(rng):
 
 
 def test_lpips_smoke(rng):
-    params = load_lpips_params()  # random backbone + uniform heads
+    params = load_lpips_params()  # random backbone + vendored v0.1 heads
     lpips = LPIPS(params)
+    assert not lpips.comparable, "random backbone must be flagged non-comparable"
     a = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     b = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     d_ab = lpips(a, b)
     d_aa = lpips(a, a)
     assert d_aa < 1e-6
     assert d_ab > d_aa
+
+
+def test_lpips_default_heads_match_reference_alex_pth():
+    """The shipped lpips_alex_linear.npz must equal the reference's vendored
+    v0.1 linear heads (loss/PerceptualSimilarity/models/weights/v0.1/alex.pth)."""
+    ref = torch.load(
+        "/root/reference/loss/PerceptualSimilarity/models/weights/v0.1/alex.pth",
+        map_location="cpu",
+    )
+    params = load_lpips_params()
+    for i in range(5):
+        want = np.maximum(ref[f"lin{i}.model.1.weight"].numpy().reshape(-1), 0)
+        np.testing.assert_array_equal(np.asarray(params[f"lin{i}_w"]), want)
