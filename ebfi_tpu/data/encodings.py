@@ -48,19 +48,26 @@ def events_to_stack_np(
     num_bins: int,
     sensor_size: tuple[int, int],
 ) -> np.ndarray:
-    """Per-polarity temporal-bin count stack, (2, num_bins, H, W) float32."""
+    """Per-polarity temporal-bin count stack, (2, num_bins, H, W) float32.
+
+    Bin-edge arithmetic is float32 with the reference's exact op order
+    (encodings.py:328-331: f32 torch tensors; ``dt = ts[-1]-ts[0]+1e-6``,
+    ``tstart = ts[0]+delta*bi``, ``tend = tstart+delta``), and bins are
+    CLOSED intervals — an event exactly on a shared f32 edge lands in both
+    adjacent bins.  All twins (numpy / C++ / device) share this contract.
+    """
     H, W = sensor_size
-    ts = np.asarray(ts, np.float64)
+    ts = np.asarray(ts, np.float32)
     ps = np.asarray(ps, np.float64)
     if ts.sum() == 0 or len(ts) <= 3:
         return np.zeros((2, num_bins, H, W), np.float32)
 
-    dt = ts[-1] - ts[0] + 1e-6
-    delta = dt / num_bins
+    dt = np.float32(ts[-1] - ts[0]) + np.float32(1e-6)
+    delta = np.float32(dt / np.float32(num_bins))
     out = np.zeros((2, num_bins, H, W), np.float64)
     for bi in range(num_bins):
-        tstart = ts[0] + delta * bi
-        tend = tstart + delta
+        tstart = np.float32(ts[0] + delta * np.float32(bi))
+        tend = np.float32(tstart + delta)
         beg = int(np.searchsorted(ts, tstart, side="left"))
         end = int(np.searchsorted(ts, tend, side="right"))
         sl = slice(beg, end)

@@ -33,7 +33,15 @@ class InferenceEngine:
         params,
         precision: str = "f32",
         multi_chunk: int = 8,
+        fast_math: Optional[bool] = None,
     ):
+        """fast_math: use throughput execution variants (s2d reconstruction
+        head — same math up to float reassociation).  Defaults to True for
+        bf16 (production) and False for f32 (strict reference parity)."""
+        if fast_math is None:
+            fast_math = precision == "bf16"
+        if fast_math and getattr(model, "fast_recon", None) is False:
+            model = model.clone(fast_recon=True, fast_detail=True)
         self.model = model
         self.params = params
         self.precision = precision

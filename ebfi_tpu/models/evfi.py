@@ -64,6 +64,13 @@ class EVFIAutoEx(nn.Module):
     # detail restoration
     detail_enabled: bool = True
     channels: Sequence[int] = (32, 64, 96, 128)
+    # execution variants (not capability switches): run the reconstruction
+    # head / the detail branch's full-res tail in space-to-depth form — no
+    # full-res intermediates, block convs at 4x channel width (ops/s2d.py).
+    # Same math up to float reassociation; fast_recon requires
+    # LeakyReLU/no-norm (the shipped config).
+    fast_recon: bool = False
+    fast_detail: bool = False
 
     def setup(self):
         self.frame_feat_extract = ConvLayer(
@@ -106,7 +113,9 @@ class EVFIAutoEx(nn.Module):
         )
         self.recon_out = ConvLayer(3, 3, 1, 1, "Sigmoid", self.norm, name="recon_out")
         if self.detail_enabled:
-            self.detail = UNet3d18(channels=self.channels, name="detail")
+            self.detail = UNet3d18(
+                channels=self.channels, fast_tail=self.fast_detail, name="detail"
+            )
 
     # ------------------------------------------------------------------ #
     # T-independent trunk
@@ -172,9 +181,26 @@ class EVFIAutoEx(nn.Module):
         processed_fr = (
             self.modification(frame_feat, processed_ev) if self.residual else frame_feat
         )
-        up = pixel_shuffle(self.recon_up(processed_fr), 2)
-        up = nn.leaky_relu(up, 0.01)
-        sharp = self.recon_out(self.recon_mid(up))
+        use_s2d = (
+            self.fast_recon
+            and not self.is_initializing()
+            and self.activation == "LeakyReLU"
+            and self.norm is None
+        )
+        if use_s2d:
+            from ..ops.s2d import recon_s2d
+
+            cv = lambda m: m.variables["params"]["Conv_0"]
+            sharp = recon_s2d(
+                processed_fr,
+                cv(self.recon_up)["kernel"], cv(self.recon_up)["bias"],
+                cv(self.recon_mid)["kernel"], cv(self.recon_mid)["bias"],
+                cv(self.recon_out)["kernel"], cv(self.recon_out)["bias"],
+            )
+        else:
+            up = pixel_shuffle(self.recon_up(processed_fr), 2)
+            up = nn.leaky_relu(up, 0.01)
+            sharp = self.recon_out(self.recon_mid(up))
 
         if self.detail_enabled:
             final = sharp + self.detail(frame, sharp)

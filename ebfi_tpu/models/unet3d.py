@@ -227,9 +227,18 @@ class _UpConvSE(nn.Module):
 
 
 class UNet3d18(nn.Module):
-    """Full detail branch (model_singleframe.py:170-223)."""
+    """Full detail branch (model_singleframe.py:170-223).
+
+    fast_tail: execution variant — run the full-resolution tail (dec4
+    transposed conv, fuse, reflect-pad 7x7 head) in space-to-depth form
+    (ops/s2d.py): the stride-2 transpose becomes one 3x3 block conv
+    64->128ch and the 7x7 head a 4x4 block conv over a reflect-shifted
+    packing, so no full-res intermediate ever hits HBM.  Same math up to
+    float reassociation; params and checkpoints unchanged.
+    """
 
     channels: Sequence[int] = (32, 64, 96, 128)
+    fast_tail: bool = False
 
     @nn.compact
     def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
@@ -248,22 +257,83 @@ class UNet3d18(nn.Module):
         d1 = _concat_packed(d1, x1)
         d0 = lrelu(_ConvSE(rc[3], name="dec3")(d1))
         d0 = _concat_packed(d0, x0)
-        dout = lrelu(_UpConvSE(rc[3], name="dec4")(d0))
 
-        # packed [t0 | t1] IS the reference's unbind-then-concat layout
-        # (model_singleframe.py:218)
-        fused = nn.Conv(
+        dec4 = _UpConvSE(rc[3], name="dec4")
+        fuse = nn.Conv(
             rc[3], (1, 1), use_bias=False,
             kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             name="feature_fuse",
-        )(dout)
-        fused = lrelu(fused)
-
-        padded = jnp.pad(fused, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-        out = nn.Conv(
+        )
+        outconv = nn.Conv(
             3, (7, 7), padding="VALID",
             kernel_init=nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             bias_init=torch_default_bias_init(rc[3] * 49),
             name="outconv",
-        )(padded)
-        return out
+        )
+
+        if self.fast_tail and not self.is_initializing():
+            return self._s2d_tail(d0, dec4, fuse, outconv, rc[3])
+
+        dout = lrelu(dec4(d0))
+        # packed [t0 | t1] IS the reference's unbind-then-concat layout
+        # (model_singleframe.py:218)
+        fused = lrelu(fuse(dout))
+        padded = jnp.pad(fused, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        return outconv(padded)
+
+    def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int):
+        """dec4 + fuse + 7x7 head without leaving half resolution."""
+        from ..ops.s2d import (
+            conv_same_weight_to_s2d,
+            depth_to_space,
+            shift_packed_reflect,
+            transpose_conv_weight_to_s2d,
+        )
+
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        dt = d0.dtype
+        B, h, w, _ = d0.shape
+        dv = dec4.variables["params"]
+
+        # transposed conv (upconv) -> 3x3 block conv producing the packed
+        # full-res tensor; bias depends only on the torch channel, so it
+        # tiles over [phase][t] groups
+        k = dv["upconv"]["kernel"].astype(dt)  # (3, 4, 4, Co, Ci)
+        flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        wpk = _pack(flipped)  # (4, 4, 2Ci, 2Co)
+        wt = transpose_conv_weight_to_s2d(wpk)  # (3, 3, 2Ci, 8Co)
+        xp = jnp.pad(d0, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = lax.conv_general_dilated(
+            xp, wt, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
+
+        # SEGating (resnet_3D.py:89-105): pool over (T, H, W) per channel —
+        # in packed s2d that is the mean over phases and both t-halves
+        yg = y.reshape(B, h, w, 8, cout)
+        pooled = jnp.mean(yg, axis=(1, 2, 3))  # (B, cout)
+        gk = dv["fg"]["Conv3D_0"]["kernel"][0, 0, 0].astype(dt)
+        gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
+        gate = nn.sigmoid(pooled @ gk + gb)  # (B, cout)
+        y = (yg * gate[:, None, None, None, :]).reshape(B, h, w, 8 * cout)
+        dout = lrelu(y)
+
+        # 1x1 fuse: per-phase (2C -> C) channel mix
+        fk = fuse.variables["params"]["kernel"][0, 0].astype(dt)  # (2C, C)
+        fused = lrelu(
+            jnp.einsum("bhwpc,cd->bhwpd", dout.reshape(B, h, w, 4, 2 * cout), fk)
+            .reshape(B, h, w, 4 * cout)
+        )
+
+        # reflect-pad 7x7 head -> 4x4 block conv on the reflect-shifted packing
+        ov = outconv.variables["params"]
+        w4 = conv_same_weight_to_s2d(ov["kernel"].astype(dt))  # (4, 4, 4C, 12)
+        o = lax.conv_general_dilated(
+            shift_packed_reflect(fused), w4, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        o = o + jnp.tile(ov["bias"].astype(dt), 4)
+        return depth_to_space(o)

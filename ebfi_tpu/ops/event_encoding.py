@@ -62,22 +62,41 @@ def events_to_stack(
     xi = jnp.asarray(xs, jnp.float32).astype(jnp.int32)
     yi = jnp.asarray(ys, jnp.float32).astype(jnp.int32)
 
+    # Bin edges in f32 with the reference's exact op order (its torch
+    # tensors are f32; encodings.py:328-331), bins CLOSED on both sides —
+    # an event exactly on a shared f32 edge lands in BOTH adjacent bins,
+    # matching the numpy/C++ twins and the reference's searchsorted
+    # left/right slicing.  Membership per bin b requires
+    # tstart[b] <= t <= tend[b]; edge rounding can also open gaps or
+    # overlaps between consecutive bins, which this reproduces.
     t0 = ts[0]
     t1 = ts[jnp.maximum(n_valid - 1, 0)]
-    dt = t1 - t0 + 1e-6
-    bins = jnp.floor((ts - t0) / dt * num_bins).astype(jnp.int32)
-    bins = jnp.clip(bins, 0, num_bins - 1)
+    dt = t1 - t0 + jnp.float32(1e-6)
+    delta = dt / jnp.float32(num_bins)
+    tstart = t0 + delta * jnp.arange(num_bins, dtype=jnp.float32)
+    tend = tstart + delta
+    # last bin with tstart <= t, first bin with tend >= t (both ascending)
+    b1 = jnp.sum(ts[:, None] >= tstart[None, :], axis=1).astype(jnp.int32) - 1
+    b0 = jnp.sum(ts[:, None] > tend[None, :], axis=1).astype(jnp.int32)
 
     in_range = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
     keep = valid & in_range
     pol = (ps < 0).astype(jnp.int32)  # 0: positive channel, 1: negative
     w = ps * ps  # reference accumulates ps * (sign-masked ps) = ps^2
 
-    flat = ((pol * num_bins + bins) * H + yi) * W + xi
-    flat = jnp.where(keep, flat, -1)
+    b1c = jnp.clip(b1, 0, num_bins - 1)
+    b0c = jnp.clip(b0, 0, num_bins - 1)
+    keep1 = keep & (b1 >= 0) & (ts <= tend[b1c])
+    keep0 = keep & (b0 < b1) & (b0 <= num_bins - 1) & (ts >= tstart[b0c])
+
+    def scatter(out, bins, k):
+        flat = ((pol * num_bins + bins) * H + yi) * W + xi
+        flat = jnp.where(k, flat, -1)
+        return out.at[flat].add(jnp.where(k, w, 0.0), mode="drop")
 
     out = jnp.zeros((2 * num_bins * H * W,), jnp.float32)
-    out = out.at[flat].add(jnp.where(keep, w, 0.0), mode="drop")
+    out = scatter(out, b1c, keep1)
+    out = scatter(out, b0c, keep0)
     out = out.reshape(2, num_bins, H, W)
 
     # Degenerate-stream guard (encodings.py:319-320).

@@ -1,0 +1,215 @@
+"""Space-to-depth (2x2 block) execution of full-resolution 3x3 convs.
+
+The reconstruction head runs two SAME 3x3 convs at full resolution on
+64-channel tensors (model_singleframe.py:257-266: PixelShuffle x2 ->
+conv -> conv -> sigmoid).  On TPU that shape is slow twice over: 64
+channels only half-fill the MXU/VPU lanes, and each full-res intermediate
+is ~1 GB/chunk of HBM traffic.  In s2d form the SAME tensor is
+(B, H/2, W/2, 4C) — half lanes become full, and a full-res 3x3 conv
+becomes a VALID 2x2 conv over 4C channels whose weight is a fixed sparse
+rearrangement of the original (measured 107 vs 41 TF/s for the conv mix).
+
+Layout: phase-major packing — channel (a*2+b)*C + c holds pixel
+(2i+a, 2j+b, c) of block (i, j).
+
+The full-res conv consumes the packing *shifted* by (-1, -1) pixels (so
+its 3x3 receptive field spans exactly 2x2 blocks); `shift_packed`
+materializes that from the standard packing with explicit zero padding,
+which reproduces the SAME-conv zero-pad semantics bit-for-bit (up to f32
+reassociation inside the MXU dot).
+
+All transforms here are pure XLA and differentiable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channels."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, h, w, a, b, C
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """(B, h, w, 4C) phase-major -> (B, 2h, 2w, C)."""
+    B, h, w, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, h, w, 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, 2 * h, 2 * w, C)
+
+
+def shift_packed(y: jax.Array) -> jax.Array:
+    """Standard packing -> (-1,-1)-pixel-shifted packing with zero borders.
+
+    Ys[i, j, (a, b, c)] = x[2i-1+a, 2j-1+b, c] (x = unpacked y; zeros
+    outside), shape (B, h+1, w+1, 4C).
+    """
+    B, h, w, C4 = y.shape
+    C = C4 // 4
+    ph = lambda a, b: y[..., (a * 2 + b) * C : (a * 2 + b + 1) * C]
+    yp = lambda t: jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    p11 = yp(ph(1, 1))[:, :-1, :-1]
+    p10 = yp(ph(1, 0))[:, :-1, 1:]
+    p01 = yp(ph(0, 1))[:, 1:, :-1]
+    p00 = yp(ph(0, 0))[:, 1:, 1:]
+    return jnp.concatenate([p11, p10, p01, p00], axis=-1)
+
+
+def _shift_select(k: int) -> np.ndarray:
+    """Selection tensor S (bk, 2, 2, k) for an odd-k SAME conv consuming the
+    shifted packing: S[di, ai, ao, dy] = 1 iff dy == 2*di + ai - ao.
+
+    Output pixel (2oi+ao) tap dy reads input pixel row 2(oi+di)-1+ai, so a
+    k-tap SAME conv becomes a VALID (k//2+1)-tap block conv (for k=3 the
+    classic 2x2; k=7 -> 4x4 with one extra reflect/zero block of context).
+    """
+    bk = k // 2 + 1
+    S = np.zeros((bk, 2, 2, k), np.float32)
+    for di in range(bk):
+        for ai in range(2):
+            for ao in range(2):
+                dy = 2 * di + ai - ao
+                if 0 <= dy < k:
+                    S[di, ai, ao, dy] = 1.0
+    return S
+
+
+def conv_same_weight_to_s2d(w: jax.Array) -> jax.Array:
+    """SAME odd-k conv weight (k, k, Ci, Co) -> VALID (k//2+1)^2 s2d weight
+    (bk, bk, 4Ci, 4Co) consuming the shifted packing, producing standard
+    packing.  Structural zeros fill the taps outside the k x k footprint."""
+    k, _, Ci, Co = w.shape
+    S = jnp.asarray(_shift_select(k), w.dtype)
+    # [di, dj, ai, bi, ci, ao, bo, co]
+    w4 = jnp.einsum("iAay,jBbx,yxcd->ijABcabd", S, S, w)
+    bk = k // 2 + 1
+    return w4.reshape(bk, bk, 4 * Ci, 4 * Co)
+
+
+def conv3x3_weight_to_s2d(w: jax.Array) -> jax.Array:
+    """SAME 3x3 conv weight (3, 3, Ci, Co) -> VALID 2x2 s2d weight
+    (2, 2, 4Ci, 4Co); see conv_same_weight_to_s2d."""
+    return conv_same_weight_to_s2d(w)
+
+
+def transpose_conv_weight_to_s2d(wpk: jax.Array) -> jax.Array:
+    """Stride-2 k=4 pad=1 transposed-conv weight (dilated-conv form,
+    (4, 4, Ci, Co) HWIO as used with lhs_dilation=2, pad 2) -> a plain
+    VALID 3x3 block conv weight (3, 3, Ci, 4Co) over the half-res input
+    padded by one block on each side, producing the full-res output in
+    standard packing.
+
+    Derivation: out[2i+a] = sum_u xd[2i+a-2+u] wpk[u] with xd the 2x
+    row-dilated input, so tap u = 2*dmi - a for input block m = i-1+dmi.
+    """
+    Ci, Co = wpk.shape[2], wpk.shape[3]
+    S = np.zeros((3, 2, 4), np.float32)
+    for dmi in range(3):
+        for a in range(2):
+            u = 2 * dmi - a
+            if 0 <= u < 4:
+                S[dmi, a, u] = 1.0
+    Sj = jnp.asarray(S, wpk.dtype)
+    # [dmi, dmj, ci, a, b, co]
+    wt = jnp.einsum("iau,jbv,uvcd->ijcabd", Sj, Sj, wpk)
+    return wt.reshape(3, 3, Ci, 4 * Co)
+
+
+def shift_packed_reflect(y: jax.Array) -> jax.Array:
+    """Standard packing -> (-1,-1)-shifted packing with ONE extra context
+    block per side and torch ReflectionPad semantics at the borders
+    (blocks -1..h+1): shape (B, h+3, w+3, 4C).
+
+    Every border block is a phase-swap of an interior block (pixel row
+    -1 = row 1, -2 = row 2, ...), so the whole construction is two gathers
+    with constant index vectors.
+    """
+    B, h, w, C4 = y.shape
+    C = C4 // 4
+    x = y.reshape(B, h, w, 2, 2, C)
+
+    def row_indices(n):
+        # shifted block m in -1..n+1: phase-0 row comes from source ph1 at
+        # block idx0[m], phase-1 row from source ph0 at idx1[m]
+        idx0 = np.concatenate([[1, 0], np.arange(0, n - 1), [n - 1, n - 2]])
+        idx1 = np.concatenate([[1, 0], np.arange(1, n), [n - 1, n - 2]])
+        return idx0, idx1
+
+    i0, i1 = row_indices(h)
+    a0 = x[:, i0][:, :, :, 1]  # (B, h+3, w, 2, C) — new a=0 group
+    a1 = x[:, i1][:, :, :, 0]
+    xr = jnp.stack([a0, a1], axis=3)  # (B, h+3, w, 2, 2, C)
+
+    j0, j1 = row_indices(w)
+    b0 = xr[:, :, j0][..., 1, :]
+    b1 = xr[:, :, j1][..., 0, :]
+    xc = jnp.stack([b0, b1], axis=4)  # (B, h+3, w+3, 2, 2, C)
+    return xc.reshape(B, h + 3, w + 3, 4 * C)
+
+
+def conv2x2_valid(x: jax.Array, w: jax.Array) -> jax.Array:
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def pixelshuffle_perm(C: int) -> np.ndarray:
+    """Output-channel permutation taking a conv that feeds torch
+    PixelShuffle(2) (channel index c*4 + a*2 + b, ops.pixel_shuffle) to the
+    phase-major packed layout ((a*2+b)*C + c)."""
+    perm = np.empty(4 * C, np.int64)
+    for ph in range(4):
+        for c in range(C):
+            perm[ph * C + c] = c * 4 + ph
+    return perm
+
+
+def recon_s2d(
+    x: jax.Array,
+    up_kernel: jax.Array,
+    up_bias: jax.Array,
+    mid_kernel: jax.Array,
+    mid_bias: jax.Array,
+    out_kernel: jax.Array,
+    out_bias: jax.Array,
+    slope: float = 0.01,
+) -> jax.Array:
+    """The EVFIAutoEx reconstruction head computed without ever
+    materializing a full-resolution intermediate (evfi.py:175-177):
+
+        up    = lrelu(pixel_shuffle(conv_up(x), 2))
+        sharp = sigmoid(conv_out(lrelu(conv_mid(up))))
+
+    x: (B, h, w, C) half-res features.  Weights are the ordinary module
+    params (HWIO); they are rearranged in-graph (tiny, jit-time constant
+    work per step).  Returns (B, 2h, 2w, 3).
+    """
+    C4 = up_kernel.shape[-1]
+    C = C4 // 4
+    perm = pixelshuffle_perm(C)
+    up_k = up_kernel[..., perm]
+    up_b = up_bias[perm]
+    y = lax.conv_general_dilated(
+        x, up_k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + up_b
+    u = jax.nn.leaky_relu(y, slope)
+
+    mid_k2 = conv3x3_weight_to_s2d(mid_kernel).astype(x.dtype)
+    m = conv2x2_valid(shift_packed(u), mid_k2) + jnp.tile(mid_bias, 4)
+    m = jax.nn.leaky_relu(m, slope)
+
+    out_k2 = conv3x3_weight_to_s2d(out_kernel).astype(x.dtype)
+    o = conv2x2_valid(shift_packed(m), out_k2) + jnp.tile(out_bias, 4)
+    o = jax.nn.sigmoid(o)
+    return depth_to_space(o)

@@ -163,3 +163,29 @@ def test_param_count_reported(rng):
     n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
     print(f"EVFIAutoEx default config params: {n:,}")
     assert n > 1_000_000  # full-size model is a multi-million-param network
+
+
+def test_fast_recon_s2d_matches_standard(rng):
+    """The s2d reconstruction head (ops/s2d.py) is the same math as the
+    PixelShuffle->conv->conv head, including the SAME-pad boundary rows."""
+    model = default_model()
+    fast = default_model(fast_recon=True)
+    frame, event, t, ex = make_inputs(rng, H=30, W=36)  # exercises pad path
+    params = model.init(jax.random.key(0), frame, event, t)
+    want_s, want_f = model.apply(params, frame, event, t)
+    got_s, got_f = fast.apply(params, frame, event, t)
+    np.testing.assert_allclose(got_s, want_s, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(got_f, want_f, rtol=2e-5, atol=2e-6)
+
+
+def test_fast_detail_s2d_matches_standard(rng):
+    """The s2d detail tail (transpose conv + SEGating + fuse + reflect-7x7)
+    equals the standard full-res path, including the reflect borders."""
+    model = default_model()
+    fast = default_model(fast_detail=True)
+    frame, event, t, ex = make_inputs(rng, H=40, W=48)
+    params = model.init(jax.random.key(0), frame, event, t)
+    want_s, want_f = model.apply(params, frame, event, t)
+    got_s, got_f = fast.apply(params, frame, event, t)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_f, want_f, rtol=2e-5, atol=2e-5)

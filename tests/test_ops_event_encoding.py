@@ -111,3 +111,56 @@ def test_voxel_temporal_bilinear(rng):
     got = np.asarray(events_to_voxel(jnp.asarray(xs), jnp.asarray(ys),
                                      jnp.asarray(tsn), jnp.asarray(ps), B, (6, 7)))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_stack_edge_timestamps_all_twins_agree():
+    """Adversarial fixture: events placed EXACTLY on the f32 bin edges.
+
+    The reference slices bins as closed intervals with f32 edge arithmetic
+    (encodings.py:328-331), so an edge event lands in both adjacent bins.
+    All three twins (numpy, C++, device) must produce identical stacks on
+    such a fixture (integer weights -> exact in every accumulation dtype).
+    """
+    import jax.numpy as jnp
+
+    from ebfi_tpu.data.encodings import events_to_stack_np
+    from ebfi_tpu.ops.event_encoding import events_to_stack as device_stack
+
+    TB, H, W = 4, 8, 8
+    t0, t_last = np.float32(0.25), np.float32(1.75)
+    dt = np.float32(t_last - t0) + np.float32(1e-6)
+    delta = np.float32(dt / np.float32(TB))
+    edges = [np.float32(t0 + delta * np.float32(b)) for b in range(TB)]
+
+    # first/last anchors plus one event exactly on every interior edge and
+    # a few interior (non-edge) fillers
+    ts = np.array(
+        [t0] + [edges[1], edges[2], edges[3]] + [0.5, 1.0, 1.5] + [t_last],
+        np.float32,
+    )
+    order = np.argsort(ts, kind="stable")
+    ts = ts[order]
+    n = len(ts)
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, W, n).astype(np.float64)
+    ys = rng.integers(0, H, n).astype(np.float64)
+    ps = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+
+    ref = events_to_stack_np(xs, ys, ts.astype(np.float64), ps, TB, (H, W))
+
+    # edge events must be double-counted: total mass > number of events
+    assert ref.sum() > n - 0.5, "fixture failed to exercise double-counting"
+
+    dev = np.asarray(
+        device_stack(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
+                     jnp.asarray(ps), TB, (H, W))
+    )
+    np.testing.assert_array_equal(dev, ref)
+
+    import ebfi_tpu.native as native
+
+    if native.available():
+        nat = native.events_to_stack_native(
+            xs, ys, ts.astype(np.float64), ps, TB, (H, W)
+        )
+        np.testing.assert_array_equal(nat, ref)
