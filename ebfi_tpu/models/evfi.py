@@ -71,6 +71,7 @@ class EVFIAutoEx(nn.Module):
     # LeakyReLU/no-norm (the shipped config).
     fast_recon: bool = False
     fast_detail: bool = False
+    fast_mod: bool = False
 
     def setup(self):
         self.frame_feat_extract = ConvLayer(
@@ -103,6 +104,7 @@ class EVFIAutoEx(nn.Module):
                 kernel_size=5,
                 norm=self.norm,
                 activation=self.activation,
+                fused=self.fast_mod,
                 name="modification",
             )
         self.recon_up = ConvLayer(

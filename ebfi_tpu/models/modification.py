@@ -18,10 +18,15 @@ from .layers import ConvLayer
 
 
 class Modification(nn.Module):
+    """fused: execution variant — predict and apply the kernel bank in one
+    Pallas kernel (ops/pallas/mod_fac.py) so the K^2*C bank never reaches
+    HBM.  Same math up to f32-vs-bf16 bank precision; params unchanged."""
+
     frame_basech: int = 64
     kernel_size: int = 5
     norm: Optional[str] = None
     activation: str = "LeakyReLU"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, frame_feat: jax.Array, event_feat: jax.Array) -> jax.Array:
@@ -30,9 +35,22 @@ class Modification(nn.Module):
         ev = ConvLayer(C1, 1, 1, 0, self.activation, self.norm, name="conv1")(event_feat)
         # The predicted bank uses the framework's tap-major channel order
         # (the torch converter permutes the reference's c-major weights).
-        kern = ConvLayer(C1 * K * K, 3, 1, 1, self.activation, self.norm, name="kernel_conv")(
-            jnp.concatenate([ev, frame_feat], axis=-1)
+        kc = ConvLayer(C1 * K * K, 3, 1, 1, self.activation, self.norm, name="kernel_conv")
+        use_fused = (
+            self.fused
+            and not self.is_initializing()
+            and self.activation == "LeakyReLU"
+            and self.norm is None
+            and frame_feat.shape[-1] == C1
+            and jax.default_backend() in ("tpu", "axon")
         )
-        e1 = kernel_conv2d_auto(ev, kern, K)
+        if use_fused:
+            from ..ops.pallas.mod_fac import modification_fac_fused
+
+            cv = kc.variables["params"]["Conv_0"]
+            e1 = modification_fac_fused(ev, frame_feat, cv["kernel"], cv["bias"], K)
+        else:
+            kern = kc(jnp.concatenate([ev, frame_feat], axis=-1))
+            e1 = kernel_conv2d_auto(ev, kern, K)
         e1 = ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv3")(e1)
         return frame_feat * e1 + ConvLayer(C1, 3, 1, 1, self.activation, self.norm, name="conv2")(e1)

@@ -1,0 +1,166 @@
+"""Fused Pallas kernel: FAC kernel-bank prediction + application.
+
+The Modification block (models/Ours/model_singleframe.py:139-165) predicts
+a per-pixel K^2*C kernel bank with a 3x3 conv over concat(event, frame)
+features and immediately consumes it with the FAC op.  The bank is the
+single largest tensor in the network — at 720p/chunk-8 it is ~5.9 GB of
+HBM write+read (B*H/2*W/2*1600 bf16), which makes the XLA version
+bandwidth-bound (measured ~54 TF/s on v5e against the conv's ~110 TF/s
+compute ceiling).
+
+This kernel computes the bank PER ROW-BAND in VMEM and applies it in
+place: per band it DMAs the (zero-padded) concat features and the
+(replication-padded) event features once, builds the 3x3 im2col in VMEM,
+runs the bank conv as 128-column MXU dots (two taps at a time), applies
+lrelu + bias, multiply-accumulates against the shifted event band, and
+writes only the (TH, W, C) output — the bank never exists in HBM.
+
+Forward-only fusion: the custom VJP recomputes through the XLA twin
+(kernel-bank conv + ops.kernel_conv2d), whose autodiff equals the
+reference CUDA backward kernels (KernelConv2D_kernel.cu:91-150).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernel_conv2d import kernel_conv2d as _xla_fac
+
+
+def _lrelu(x):
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _kernel(
+    cat_hbm, evp_hbm, wk_ref, bias_ref, o_ref, catbuf, evbuf, imcol, acc,
+    sem_c, sem_e, *, K, TH, W, C,
+):
+    """Grid (B, H/TH).
+
+    cat_hbm: (B, H+2, WPC, 2C) zero-padded concat(ev, ff) (2C lanes, 128-
+      aligned for C=64).  evp_hbm: (B, H+K-1, WPE, C128) replication-padded
+      event features.  wk_ref: (9*2C, K*K*C) im2col bank-conv weight.
+      bias_ref: (32, C) f32, row t = bias for tap t.  o_ref: (1, TH, W, C).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(cat_hbm.at[b, pl.ds(i * TH, TH + 2), :, :], catbuf, sem_c)
+    ep = pltpu.make_async_copy(evp_hbm.at[b, pl.ds(i * TH, TH + K - 1), :, :], evbuf, sem_e)
+    cp.start()
+    ep.start()
+    cp.wait()
+
+    C2 = 2 * C
+    # 3x3 im2col of the concat band: tap-major columns
+    for dy in range(3):
+        for dx in range(3):
+            imcol[:, :, (dy * 3 + dx) * C2 : (dy * 3 + dx + 1) * C2] = catbuf[
+                dy : dy + TH, dx : dx + W, :C2
+            ]
+    x2 = imcol[...].reshape(TH * W, 9 * C2)
+    ep.wait()
+
+    KK = K * K
+    for tp in range(KK // 2 + 1):
+        t0 = 2 * tp
+        n = C2 if t0 + 1 < KK else C  # last odd tap runs alone
+        d = jnp.dot(
+            x2, wk_ref[:, t0 * C : t0 * C + n], preferred_element_type=jnp.float32
+        ).reshape(TH, W, n)
+        for t in (t0, t0 + 1):
+            if t >= KK:
+                break
+            kern = _lrelu(d[:, :, (t - t0) * C : (t - t0 + 1) * C] + bias_ref[t, :])
+            ky, kx = t // K, t % K
+            ev_tap = evbuf[ky : ky + TH, kx : kx + W, :C].astype(jnp.float32)
+            if t == 0:
+                acc[...] = ev_tap * kern
+            else:
+                acc[...] += ev_tap * kern
+    o_ref[0] = acc[...].astype(o_ref.dtype)
+
+
+def _forward(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int):
+    """ev, ff: (B, H, W, C); wk: (3, 3, 2C, K*K*C) HWIO (tap-major bank
+    output channels); bk: (K*K*C,).  Returns (B, H, W, C)."""
+    B, H, W, C = ev.shape
+    p = (K - 1) // 2
+    C2 = 2 * C
+    dt = ev.dtype
+
+    wpc = -(-(W + 2) // 8) * 8
+    cat = jnp.concatenate([ev, ff], axis=-1)
+    catp = jnp.pad(cat, ((0, 0), (1, 1), (1, wpc - W - 1), (0, -(-C2 // 128) * 128 - C2)))
+
+    wpe = -(-(W + K - 1) // 8) * 8
+    c128 = -(-C // 128) * 128
+    evp = jnp.pad(ev, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+    evp = jnp.pad(evp, ((0, 0), (0, 0), (0, wpe - (W + K - 1)), (0, c128 - C)))
+
+    wk2 = wk.reshape(9 * C2, K * K * C).astype(dt)
+    bias = jnp.zeros((32, C), jnp.float32)
+    bias = bias.at[: K * K].set(bk.reshape(K * K, C).astype(jnp.float32))
+
+    TH = 2 if H % 2 == 0 else 1
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return pl.pallas_call(
+        partial(_kernel, K=K, TH=TH, W=W, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
+        grid=(B, H // TH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, C), lambda b, i: (b, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, wpc, -(-C2 // 128) * 128), dt),
+            pltpu.VMEM((TH + K - 1, wpe, c128), dt),
+            pltpu.VMEM((TH, W, 9 * C2), dt),
+            pltpu.VMEM((TH, W, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(catp, evp, wk2, bias)
+
+
+def _xla_twin(ev, ff, wk, bk, K):
+    """Reference XLA computation: 3x3 bank conv + lrelu + FAC (tap-major)."""
+    from jax import lax
+
+    cat = jnp.concatenate([ev, ff], axis=-1)
+    bank = lax.conv_general_dilated(
+        cat, wk.astype(cat.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    bank = jax.nn.leaky_relu(bank + bk.astype(jnp.float32), 0.01).astype(ev.dtype)
+    return _xla_fac(ev, bank, K, layout="tap_major")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def modification_fac_fused(ev, ff, wk, bk, kernel_size: int = 5):
+    """lrelu(conv3x3(cat(ev, ff))) bank + FAC, fused — the bank never
+    touches HBM.  Backward via the XLA twin."""
+    return _forward(ev, ff, wk, bk, kernel_size)
+
+
+def _fwd(ev, ff, wk, bk, kernel_size):
+    return _forward(ev, ff, wk, bk, kernel_size), (ev, ff, wk, bk)
+
+
+def _bwd(kernel_size, res, g):
+    ev, ff, wk, bk = res
+    _, vjp = jax.vjp(lambda a, b, c, d: _xla_twin(a, b, c, d, kernel_size), ev, ff, wk, bk)
+    return vjp(g)
+
+
+modification_fac_fused.defvjp(_fwd, _bwd)

@@ -44,3 +44,49 @@ def test_tap_major_layout_equivalence(rng):
     a = kernel_conv2d(x, jnp.asarray(kern_c), K, layout="c_major")
     b = kernel_conv2d(x, jnp.asarray(kern_t), K, layout="tap_major")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_modification_fac_fused_matches_xla_twin(rng):
+    """Fused bank-prediction + FAC (interpret mode on CPU) is exact vs the
+    XLA twin in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from ebfi_tpu.ops.pallas.mod_fac import modification_fac_fused, _xla_twin
+
+    B, H, W, C, K = 2, 12, 20, 8, 5
+    ev = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    ff = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    wk = jnp.asarray(0.1 * rng.standard_normal((3, 3, 2 * C, K * K * C)).astype(np.float32))
+    bk = jnp.asarray(0.1 * rng.standard_normal((K * K * C,)).astype(np.float32))
+
+    got = modification_fac_fused(ev, ff, wk, bk, K)
+    want = _xla_twin(ev, ff, wk, bk, K)
+    # dot-vs-conv accumulation order differs; a pre-activation that lands
+    # within float noise of the lrelu kink can flip branch, so tolerance is
+    # reassociation-scale, not exact
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the custom VJP (XLA-twin backward)
+    loss = lambda e, f, w, b: jnp.sum(modification_fac_fused(e, f, w, b, K) ** 2)
+    g = jax.grad(loss, argnums=(0, 2))(ev, ff, wk, bk)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in g)
+
+
+def test_modification_module_fused_flag(rng):
+    """Modification(fused=True) falls back to XLA off-TPU and matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from ebfi_tpu.models.modification import Modification
+
+    ffeat = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    efeat = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    m0 = Modification(frame_basech=8)
+    m1 = Modification(frame_basech=8, fused=True)
+    params = m0.init(jax.random.key(0), ffeat, efeat)
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(params, ffeat, efeat)),
+        np.asarray(m0.apply(params, ffeat, efeat)),
+        rtol=1e-6, atol=1e-6,
+    )
