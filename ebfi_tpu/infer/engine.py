@@ -41,7 +41,9 @@ class InferenceEngine:
         if fast_math is None:
             fast_math = precision == "bf16"
         if fast_math and getattr(model, "fast_recon", None) is False:
-            model = model.clone(fast_recon=True, fast_detail=True, fast_mod=True)
+            model = model.clone(
+                fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True
+            )
         self.model = model
         self.params = params
         self.precision = precision

@@ -53,6 +53,12 @@ class ResidualControl(nn.Module):
     # on device) but currently ~35% slower than XLA's convs at 360x640x64
     # (K=64 tap dots underutilize the MXU); kept as an option + prototype.
     use_pallas: bool = False
+    # Execution variant (ops/s2d.py): run the whole stack in row-packed
+    # space — every 3x3 conv becomes a VALID (2,3) block conv at 2C=128
+    # channels (full MXU lanes, 4/3 FLOP tax), stage parities alternate so
+    # no relayout is ever needed between convs.  Same math up to float
+    # reassociation; params unchanged.
+    fast: bool = False
 
     @nn.compact
     def __call__(self, data: jax.Array, ex: jax.Array, t: jax.Array) -> jax.Array:
@@ -96,6 +102,8 @@ class ResidualControl(nn.Module):
             and jax.default_backend() in ("tpu", "axon")
             and not os.environ.get("EBFI_DISABLE_PALLAS")
         )
+        if self.fast and data.shape[1] % 2 == 0:
+            return self._rows2_path(data, p, ex_scales, t_scales, act)
         if pallas_ok:
             return self._pallas_path(data, p, ex_scales, t_scales)
         return self._xla_path(data, p, ex_scales, t_scales, act)
@@ -132,6 +140,73 @@ class ResidualControl(nn.Module):
             stage, data, stacked, unroll=self.step if self.unroll else 1
         )
         return out
+
+    def _rows2_path(self, data, p, ex_scales, t_scales, act):
+        """Row-packed execution (ops/s2d.py): stage parities alternate
+        between a shifted-packing input (A) and a standard-packing input
+        (B); the (2,3) block-conv weight mapping is parity-independent, so
+        the only per-parity differences are one zero-block pad and a
+        boundary mask on odd-alignment intermediates.  The residual adds
+        align for free via the pixel-pair identity (alignment +1 block m
+        holds the same pixel rows as alignment -1 block m+1)."""
+        from ..ops.s2d import (
+            conv23_valid,
+            conv3x3_weight_to_rows2,
+            rows2_pack_shifted,
+            rows2_unpack_shifted,
+            rows2_unpack_standard,
+        )
+
+        C, S = self.basech, self.step
+        w3a = conv3x3_weight_to_rows2(p["conv3a"])   # (S, 2, 3, 2C, 2C)
+        w4a = conv3x3_weight_to_rows2(p["conv4a"])
+        w3b = conv3x3_weight_to_rows2(p["conv3b"])
+        w4b = conv3x3_weight_to_rows2(p["conv4b"])
+        w5u = conv3x3_weight_to_rows2(p["conv5"][:, :, :, :C, :])
+        w5v = conv3x3_weight_to_rows2(p["conv5"][:, :, :, C:, :])
+        t2 = lambda b: jnp.tile(b, 2)
+        pad1 = lambda x: jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+        xs = rows2_pack_shifted(data)                # (B, h+1, W, 2C)
+        hp = xs.shape[1]
+        # odd-alignment arrays carry pixel rows -1 and H in their first
+        # block's row-0 half and last block's row-1 half — those are the
+        # conv zero-pad positions and must be masked to zero
+        mask = jnp.ones((1, hp, 1, 2 * C), data.dtype)
+        mask = mask.at[:, 0, :, :C].set(0.0).at[:, hp - 1, :, C:].set(0.0)
+
+        for s in range(S):
+            exs = t2(ex_scales[s][:, None, None, :])
+            tss = t2(t_scales[s][:, None, None, :])
+            if s % 2 == 0:  # parity A: input shifted (h+1 blocks)
+                a3 = act(conv23_valid(xs, w3a[s]) + t2(p["conv3a_b"][s]))
+                a4 = act(conv23_valid(xs, w4a[s]) + t2(p["conv4a_b"][s]))
+                exx = act(conv23_valid(pad1(a3), w3b[s]) + t2(p["conv3b_b"][s])) * mask
+                tx = act(conv23_valid(pad1(a4), w4b[s]) + t2(p["conv4b_b"][s])) * mask
+                u = exs * exx + xs
+                v = tss * tx + xs
+                y = act(
+                    conv23_valid(u, w5u[s]) + conv23_valid(v, w5v[s])
+                    + t2(p["conv5_b"][s])
+                )
+                xs = y  # standard packing (h blocks) — parity B input
+            else:  # parity B: input standard (h blocks)
+                yp = pad1(xs)
+                a3 = act(conv23_valid(yp, w3a[s]) + t2(p["conv3a_b"][s])) * mask
+                a4 = act(conv23_valid(yp, w4a[s]) + t2(p["conv4a_b"][s])) * mask
+                exx = act(conv23_valid(a3, w3b[s]) + t2(p["conv3b_b"][s]))
+                tx = act(conv23_valid(a4, w4b[s]) + t2(p["conv4b_b"][s]))
+                u = exs * exx + xs
+                v = tss * tx + xs
+                y = act(
+                    conv23_valid(pad1(u), w5u[s]) + conv23_valid(pad1(v), w5v[s])
+                    + t2(p["conv5_b"][s])
+                ) * mask
+                xs = y  # shifted packing (h+1 blocks) — parity A input
+
+        if S % 2 == 0:
+            return rows2_unpack_shifted(xs)
+        return rows2_unpack_standard(xs)
 
     def _pallas_path(self, data, p, ex_scales, t_scales):
         from ..ops.pallas.control_stage import residual_control_stage_pallas

@@ -72,6 +72,7 @@ class EVFIAutoEx(nn.Module):
     fast_recon: bool = False
     fast_detail: bool = False
     fast_mod: bool = False
+    fast_control: bool = False
 
     def setup(self):
         self.frame_feat_extract = ConvLayer(
@@ -96,6 +97,7 @@ class EVFIAutoEx(nn.Module):
                 step=self.step,
                 norm=self.norm,
                 activation=self.activation,
+                fast=self.fast_control,
                 name="residual_control",
             )
         if self.residual:

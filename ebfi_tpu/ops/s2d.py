@@ -154,6 +154,66 @@ def shift_packed_reflect(y: jax.Array) -> jax.Array:
     return xc.reshape(B, h + 3, w + 3, 4 * C)
 
 
+# ---------------------------------------------------------------------- #
+# Row-only packing (block 2 in H): for C=64 feature maps this fills the
+# 128 MXU/VPU lanes exactly (2C channels) at a 4/3 FLOP tax — cheaper than
+# the full 2x2 packing's 16/9 — and every SAME 3x3 conv becomes a VALID
+# (2,3)-tap block conv with the SAME weight mapping regardless of whether
+# the input packing is row-shifted or standard (the parity difference is
+# absorbed by which blocks feed the VALID window, i.e. one zero-block pad).
+
+
+def rows2_pack_shifted(x: jax.Array) -> jax.Array:
+    """(B, H, W, C), H even -> (B, H/2+1, W, 2C); block j holds pixel rows
+    (2j-1, 2j) as channel halves [row0 | row1], zeros outside the image."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(B, H // 2 + 1, 2, W, C).transpose(0, 1, 3, 2, 4)
+    return xp.reshape(B, H // 2 + 1, W, 2 * C)
+
+
+def rows2_unpack_shifted(y: jax.Array) -> jax.Array:
+    """Inverse of rows2_pack_shifted: (B, h+1, W, 2C) -> (B, 2h, W, C)."""
+    B, hp, W, C2 = y.shape
+    C = C2 // 2
+    x = y.reshape(B, hp, W, 2, C).transpose(0, 1, 3, 2, 4).reshape(B, 2 * hp, W, C)
+    return x[:, 1 : 2 * hp - 1]
+
+
+def rows2_unpack_standard(y: jax.Array) -> jax.Array:
+    """Standard row packing (block j = rows 2j, 2j+1) -> (B, 2h, W, C)."""
+    B, h, W, C2 = y.shape
+    C = C2 // 2
+    return y.reshape(B, h, W, 2, C).transpose(0, 1, 3, 2, 4).reshape(B, 2 * h, W, C)
+
+
+def conv3x3_weight_to_rows2(w: jax.Array) -> jax.Array:
+    """SAME 3x3 weight (..., 3, 3, Ci, Co) -> VALID (2,3) row-block weight
+    (..., 2, 3, 2Ci, 2Co): W[di, dx, (ai,ci), (ao,co)] = w[2di+ai-ao, dx]
+    (structural zero outside [0,3)).  The same mapping serves both packing
+    parities; leading batch axes (e.g. stacked stages) pass through."""
+    S = np.zeros((2, 2, 2, 3), np.float32)
+    for di in range(2):
+        for ai in range(2):
+            for ao in range(2):
+                dy = 2 * di + ai - ao
+                if 0 <= dy < 3:
+                    S[di, ai, ao, dy] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    w2 = jnp.einsum("dABy,...yxio->...dxAiBo", Sj, w)
+    *lead, _, _, _, Ci, _, Co = w2.shape
+    return w2.reshape(*lead, 2, 3, 2 * Ci, 2 * Co)
+
+
+def conv23_valid(x: jax.Array, w: jax.Array) -> jax.Array:
+    """VALID 2-row-tap, SAME-3-column conv on row-packed tensors."""
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(0, 0), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
 def conv2x2_valid(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(
         x, w, (1, 1), [(0, 0), (0, 0)],

@@ -189,3 +189,19 @@ def test_fast_detail_s2d_matches_standard(rng):
     got_s, got_f = fast.apply(params, frame, event, t)
     np.testing.assert_allclose(got_s, want_s, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got_f, want_f, rtol=2e-5, atol=2e-5)
+
+
+def test_fast_control_rows2_matches_scan(rng):
+    """The row-packed ResidualControl (ops/s2d.py rows2) equals the scan
+    path for both stage-count parities, including image-boundary rows."""
+    frame, event, t, ex = make_inputs(rng, H=24, W=16, tb=4)
+    for steps in (3, 4):
+        rc = ResidualControl(basech=16, step=steps)
+        rcf = ResidualControl(basech=16, step=steps, fast=True)
+        feat = jnp.asarray(
+            np.random.default_rng(steps).standard_normal((2, 12, 16, 16)).astype(np.float32)
+        )
+        params = rc.init(jax.random.key(1), feat, ex, t)
+        want = rc.apply(params, feat, ex, t)
+        got = rcf.apply(params, feat, ex, t)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

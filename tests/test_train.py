@@ -214,3 +214,40 @@ def test_trainer_loop_with_loader(clip, tmp_path):
     )
     with pytest.raises(ValueError):
         resume(path, template, "WrongName", "Adam")
+
+
+def test_spatial_train_step_matches_dp(clip, rng):
+    """DPxSP (H sharded over the model axis through fwd+bwd) produces the
+    same loss and updated params as the DP-only step."""
+    model = tiny_model()
+    B, H, W, TB = 4, 32, 32, 4
+    frame = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    event = rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32)
+    t = rng.uniform(0, 1, (B, 1)).astype(np.float32)
+    ex = rng.uniform(0, 1, (B, 1)).astype(np.float32)
+    batch_np = {"frame": frame, "event": event, "t": t, "gt_ex": ex, "target": frame}
+
+    params = model.init(
+        jax.random.key(0), jnp.asarray(frame[:1]), jnp.asarray(event[:1]),
+        jnp.asarray(t[:1]), jnp.asarray(ex[:1]),
+    )
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+
+    results = {}
+    for tag, mp, spatial in (("dp", 1, False), ("dpxsp", 2, True)):
+        mesh = make_mesh(num_devices=4, model_parallel=mp)
+        batch_sh, repl = dp_shardings(mesh)
+        state = jax.device_put(create_train_state(model, params, tx), repl)
+        step = make_train_step(model, mesh=mesh, spatial=spatial, donate=False)
+        batch = {k: jax.device_put(v, batch_sh) for k, v in batch_np.items()}
+        state, metrics = step(state, batch)
+        results[tag] = (
+            float(metrics["train_loss"]),
+            jax.tree.map(np.asarray, state.params),
+        )
+
+    assert np.isclose(results["dp"][0], results["dpxsp"][0], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        results["dp"][1], results["dpxsp"][1],
+    )
