@@ -9,19 +9,22 @@ ebfi_tpu/infer/engine.py).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md: "reference
 provides machinery, not numbers"), so the comparison constant is an
-analytic estimate of the reference on A100:
+analytic estimate of the reference on A100, with the FLOP side anchored by
+XLA's cost model (tools/cost_analysis.py -> COST_ANALYSIS.md):
 
 - per output frame it re-runs the ENTIRE network (train_ours.py:245-256,
-  infer_ours.py:105-118): ~2.4 TFLOP fp32 per 720p forward (cost_analysis
-  of the same architecture; the 12-stage control stack alone is 1.2 TF);
+  infer_ours.py:105-118): see COST_ANALYSIS.md for the measured
+  full-forward TFLOP at 720p;
 - torch fp32 convs on A100 (19.5 TF/s peak; TF32 was NOT enabled by
   default in the torch era pinned by the vendored THC build) typically
-  sustain 30-60% on this 64-channel conv mix -> 6-12 TF/s -> 200-400 ms;
+  sustain 30-60% on this 64-channel conv mix -> 6-12 TF/s;
 - plus the in-forward GPU->CPU cv2 blurriness round-trip
   (myutils/utils.py:34-49) and per-frame python dispatch, ~20-50 ms.
 
-=> ~2.5-5 frames/sec/A100; we use 5.0 (the favorable end).  The north-star
-"2x A100" therefore corresponds to vs_baseline >= 2.0.
+=> an estimate RANGE of ~2.5-5 frames/sec/A100.  REF_A100_FPS_ESTIMATE
+uses 5.0 — the FAVORABLE end for the reference — so `vs_baseline` is a
+conservative lower bound with roughly 2x spread toward the better; the
+north-star "2x A100" corresponds to vs_baseline >= 2.0.
 """
 import json
 import sys

@@ -96,7 +96,14 @@ class Trainer:
 
     def _batches_from_window(self, window: Dict[str, np.ndarray]):
         """Flatten a loaded window into per-timestamp training batches
-        (train_ours.py:226-256).  Expects NumP == 1."""
+        (train_ours.py:226-256).
+
+        NumPeriodPerLoad must be 1 — the same limit the reference has in
+        practice: its loop does ``SeqBlurryF[idxL].squeeze(1)`` and
+        ``view(B, NumP*NumF, ...)`` (train_ours.py:238-243), which only
+        produces model-shaped tensors when NumP == 1 (and every shipped
+        config uses 1).  We raise explicitly instead of mis-shaping.
+        """
         blurry = window["blurry"]        # (B, L, NumP, H, W, 3)
         events = window["events"]        # (B, L, H, W, 2TB)
         rel_ts = window["relative_ts"]   # (B, L, NumP, NumI)
@@ -105,7 +112,10 @@ class Trainer:
         L = blurry.shape[1]
         num_p = blurry.shape[2]
         if num_p != 1:
-            raise ValueError("training consumes NumPeriodPerLoad == 1 windows")
+            raise ValueError(
+                "training consumes NumPeriodPerLoad == 1 windows (the "
+                "reference has the same effective limit, train_ours.py:238-243)"
+            )
         num_i = rel_ts.shape[-1]
         for idx_l in range(L):
             for i in range(num_i):
@@ -121,7 +131,9 @@ class Trainer:
 
     def _put(self, batch):
         if self.batch_sharding is not None:
-            return {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+            from ..parallel import put_global_batch
+
+            return put_global_batch(batch, self.batch_sharding)
         return batch
 
     # -------------------------------------------------------------- #

@@ -166,3 +166,87 @@ def stack_to_cnt(stack: np.ndarray) -> np.ndarray:
     H, W, C = stack.shape
     s = stack.reshape(H, W, C // 2, 2)
     return s.sum(axis=2)
+
+
+def save_event_stack_movie(
+    stacks, path: str, fps: int = 10, color_scheme: str = "blue_red"
+) -> None:
+    """Animated GIF sweeping the temporal bins of one or more event stacks
+    (the movie mode of `PlotEventStack`, matplotlib_plot_events.py:614-699).
+
+    stacks: (N, H, W, 2*TB) sequence (or a single (H, W, 2*TB) stack); each
+    movie frame is one temporal bin's polarity render.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    stacks = np.asarray(stacks)
+    if stacks.ndim == 3:
+        stacks = stacks[None]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.axis("off")
+    frames = []
+    for stack in stacks:
+        tb = stack.shape[-1] // 2
+        for b in range(tb):
+            img = render_event_cnt(
+                stack[..., 2 * b : 2 * b + 2], color_scheme=color_scheme,
+                black_background=False,
+            )
+            frames.append([ax.imshow(img, animated=True)])
+    ani = animation.ArtistAnimation(fig, frames, interval=1000 // fps, blit=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ani.save(path, writer="pillow", fps=fps)
+    plt.close(fig)
+
+
+def save_event_cloud_movie(
+    windows, path: str, fps: int = 5, max_points: int = 20_000,
+    frames_panel=None,
+) -> None:
+    """Animated GIF of 3D event-cloud windows (x, t, y scatter, polarity
+    colors), optionally with a frame panel below — the headless equivalent
+    of `PlotEvent3D.CreateMovie` (matplotlib_plot_events.py:700-812).
+
+    windows: iterable of (xs, ys, ts, ps) tuples, one movie frame each.
+    frames_panel: optional iterable of (H, W[, 3]) images shown beneath.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_axes([0.0, 0.3, 1.0, 0.7], projection="3d")
+    ax.set_xlabel("x"); ax.set_ylabel("t"); ax.set_zlabel("y")
+    fax = None
+    if frames_panel is not None:
+        fax = fig.add_axes([0.35, 0.0, 0.3, 0.3])
+        fax.axis("off")
+        frames_panel = list(frames_panel)
+
+    windows = list(windows)
+    if not windows:
+        raise ValueError("save_event_cloud_movie needs at least one event window")
+    movie = []
+    for i, (xs, ys, ts, ps) in enumerate(windows):
+        xs, ys, ts, ps = (np.asarray(a) for a in (xs, ys, ts, ps))
+        n = len(ts)
+        if n > max_points:
+            sel = np.linspace(0, n - 1, max_points).astype(int)
+            xs, ys, ts, ps = xs[sel], ys[sel], ts[sel], ps[sel]
+        split = [
+            ax.scatter(xs[ps > 0], ts[ps > 0], ys[ps > 0], c="b", marker=".", s=1),
+            ax.scatter(xs[ps <= 0], ts[ps <= 0], ys[ps <= 0], c="r", marker=".", s=1),
+        ]
+        if fax is not None and i < len(frames_panel):
+            split.append(fax.imshow(frames_panel[i], cmap="gray", animated=True))
+        movie.append(split)
+    ani = animation.ArtistAnimation(fig, movie, interval=1000 // fps, blit=False)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ani.save(path, writer="pillow", fps=fps)
+    plt.close(fig)

@@ -80,3 +80,55 @@ def test_vis_writers(tmp_path, rng):
     )
     for name in ("f.png", "c.png", "grid.png", "cloud.png"):
         assert (tmp_path / name).exists()
+
+
+def test_event_stack_movie(tmp_path, rng):
+    from ebfi_tpu.utils.vis import save_event_stack_movie
+
+    stack = np.abs(rng.standard_normal((2, 16, 24, 8))).astype(np.float32)
+    out = tmp_path / "stack.gif"
+    save_event_stack_movie(stack, str(out), fps=4)
+    assert out.exists() and out.stat().st_size > 100
+
+
+def test_event_cloud_movie(tmp_path, rng):
+    from ebfi_tpu.utils.vis import save_event_cloud_movie
+
+    wins = []
+    for _ in range(2):
+        n = 500
+        wins.append((
+            rng.integers(0, 32, n), rng.integers(0, 24, n),
+            np.sort(rng.uniform(0, 1, n)),
+            np.where(rng.uniform(size=n) < 0.5, -1, 1),
+        ))
+    frames = [rng.uniform(0, 1, (24, 32)) for _ in range(2)]
+    out = tmp_path / "cloud.gif"
+    save_event_cloud_movie(wins, str(out), frames_panel=frames)
+    assert out.exists() and out.stat().st_size > 100
+
+
+def test_flow_visualization_store(tmp_path, rng):
+    from ebfi_tpu.utils.flow_vis import FlowVisualization, flow_to_image, minmax_norm
+
+    H, W = 20, 28
+    viz = FlowVisualization(str(tmp_path / "viz"))
+    for ts in (0.0, 0.1):
+        viz.store(
+            event_cnt=np.abs(rng.standard_normal((H, W, 2))).astype(np.float32),
+            flow=rng.standard_normal((H, W, 2)).astype(np.float32),
+            iwe=np.abs(rng.standard_normal((H, W, 2))).astype(np.float32),
+            brightness=rng.uniform(0, 1, (H, W)).astype(np.float32),
+            sequence="seq0",
+            frames=(rng.uniform(0, 255, (H, W))).astype(np.uint8),
+            ts=ts,
+        )
+    viz.close()
+    root = tmp_path / "viz" / "seq0"
+    for sub in ("events", "flow", "frames", "iwe", "brightness"):
+        assert len(list((root / sub).glob("*.png"))) == 2, sub
+    assert (root / "timestamps.txt").read_text().splitlines() == ["0.0", "0.1"]
+
+    img = flow_to_image(np.ones((4, 4)), np.zeros((4, 4)))
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+    assert minmax_norm(np.arange(100.0)).max() <= 1.0
