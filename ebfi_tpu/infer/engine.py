@@ -32,7 +32,7 @@ class InferenceEngine:
         model: EVFIAutoEx,
         params,
         precision: str = "f32",
-        multi_chunk: int = 8,
+        multi_chunk: int = 16,
         fast_math: Optional[bool] = None,
     ):
         """fast_math: use throughput execution variants (s2d reconstruction

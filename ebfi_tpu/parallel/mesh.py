@@ -58,3 +58,46 @@ def local_shard_info(mesh: Mesh) -> Tuple[int, int]:
     process (multi-host) — the in-process mesh axis is fed by a single
     host-side loader whose batches jax lays out across local devices."""
     return jax.process_index(), jax.process_count()
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-process rendezvous from the reference's env-var contract
+    (train_ours.py:63-84: RANK / WORLD_SIZE / MASTER_ADDR / MASTER_PORT).
+    Returns True if `jax.distributed.initialize` was called."""
+    import os
+
+    if "RANK" not in os.environ or "WORLD_SIZE" not in os.environ:
+        return False
+    if int(os.environ["WORLD_SIZE"]) <= 1:
+        return False
+    if jax.distributed.is_initialized():
+        return True
+    addr = os.environ.get("MASTER_ADDR", "localhost")
+    port = os.environ.get("MASTER_PORT", "12355")
+    jax.distributed.initialize(
+        coordinator_address=f"{addr}:{port}",
+        num_processes=int(os.environ["WORLD_SIZE"]),
+        process_id=int(os.environ["RANK"]),
+    )
+    # Establish the cross-process collective context NOW, while process
+    # skew is small: the CPU backend's gloo rendezvous has a short timeout,
+    # and the first natural collective otherwise lands after minutes of
+    # (rank-skewed) XLA compilation.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ebfi:init")
+    return True
+
+
+def put_global_batch(batch: dict, sharding) -> dict:
+    """Lay a host-local batch dict out onto a (possibly multi-process)
+    mesh: single-process uses plain device_put; multi-process assembles
+    jax.Arrays from each process's local shard (the loader gives every
+    process `global_batch / process_count` items, so concatenating the
+    per-process data along axis 0 IS the global batch)."""
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }

@@ -55,15 +55,16 @@ def save_checkpoint(
             },
             force=True,
         )
-    meta = {
-        "model": {"name": model_name},
-        "optimizer": {"name": optimizer_name},
-        "lr_scheduler": {"name": scheduler_name},
-        "trainer": trainer_state,
-        "config": config,
-    }
-    with open(os.path.join(path, "meta.yml"), "w") as f:
-        yaml.safe_dump(meta, f, sort_keys=False)
+    if jax.process_index() == 0:  # sidecar written by the primary host only
+        meta = {
+            "model": {"name": model_name},
+            "optimizer": {"name": optimizer_name},
+            "lr_scheduler": {"name": scheduler_name},
+            "trainer": trainer_state,
+            "config": config,
+        }
+        with open(os.path.join(path, "meta.yml"), "w") as f:
+            yaml.safe_dump(meta, f, sort_keys=False)
     return path
 
 

@@ -46,10 +46,13 @@ def init_seeds(seed: int = 0) -> None:
 
 
 def _make_loader(cfg: dict, shard_index: int, num_shards: int, real_data: bool, seed: int):
+    # config batch_size is GLOBAL; each process loads its 1/num_shards slice
+    # and the global batch is assembled across processes (put_global_batch)
+    per_process = max(1, cfg.get("batch_size", 1) // max(num_shards, 1))
     return EBFIDataLoader(
         cfg["path_to_datalist_txt"],
         cfg["dataset"],
-        batch_size=cfg.get("batch_size", 1),
+        batch_size=per_process,
         shuffle=cfg.get("shuffle", False),
         drop_last=cfg.get("drop_last", False),
         shard_index=shard_index,
@@ -74,6 +77,11 @@ def make_writer(log_dir: str):
 
 
 def main(argv=None):
+    # multi-process rendezvous via the reference's env contract
+    # (RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT, train_ours.py:63-84)
+    from ..parallel import maybe_init_distributed
+
+    maybe_init_distributed()
     cp = ConfigParser.from_args(argv)
     from ..utils.profiling import enable_compile_cache
 

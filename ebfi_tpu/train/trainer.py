@@ -288,8 +288,10 @@ class Trainer:
         return False, False
 
     def _save(self, it: int, best: bool = False, tag: Optional[str] = None):
-        if jax.process_index() != 0:
-            return
+        # ALL processes enter (orbax coordinates multi-process saves with
+        # internal barriers; only the primary host writes — gating here
+        # would deadlock rank 0's barrier, cf. reference rank-0-only
+        # torch.save which has no such coordination, train_ours.py:331)
         tag = tag or (
             f"model_best_until_iteration{it}" if best else f"checkpoint-iteration{it}"
         )
