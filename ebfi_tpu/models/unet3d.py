@@ -249,11 +249,15 @@ class UNet3d18(nn.Module):
         images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
         x0, x1, x2, x3, x4 = _Encoder3D(self.channels, name="encoder")(images)
 
+        fast = self.fast_tail and not self.is_initializing()
+
         d3 = lrelu(_ConvSE(rc[1], name="dec0")(x4))
         d3 = _concat_packed(d3, x3)
-        d2 = lrelu(_UpConvSE(rc[2], name="dec1")(d3))
+        dec1 = _UpConvSE(rc[2], name="dec1")
+        d2 = lrelu(self._upconv_fast(dec1, d3, rc[2]) if fast else dec1(d3))
         d2 = _concat_packed(d2, x2)
-        d1 = lrelu(_UpConvSE(rc[3], name="dec2")(d2))
+        dec2 = _UpConvSE(rc[3], name="dec2")
+        d1 = lrelu(self._upconv_fast(dec2, d2, rc[3]) if fast else dec2(d2))
         d1 = _concat_packed(d1, x1)
         d0 = lrelu(_ConvSE(rc[3], name="dec3")(d1))
         d0 = _concat_packed(d0, x0)
@@ -280,6 +284,36 @@ class UNet3d18(nn.Module):
         fused = lrelu(fuse(dout))
         padded = jnp.pad(fused, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
         return outconv(padded)
+
+    def _upconv_fast(self, mod, x, cout: int):
+        """_UpConvSE via a 3x3 block conv (no lhs_dilation transpose):
+        conv to the s2d-packed output, SE-gate in packed space (pooling
+        over phases == pooling over H, W), then depth-to-space."""
+        from ..ops.s2d import depth_to_space, transpose_conv_weight_to_s2d
+
+        dt = x.dtype
+        B, h, w, _ = x.shape
+        dv = mod.variables["params"]
+        k = dv["upconv"]["kernel"].astype(dt)
+        flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        wpk = _pack(flipped)
+        wt = transpose_conv_weight_to_s2d(wpk)  # (3, 3, 2Ci, 8Co)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = lax.conv_general_dilated(
+            xp, wt, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(dt) + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
+
+        yg = y.reshape(B, h, w, 8, cout)
+        pooled = jnp.mean(yg, axis=(1, 2, 3))
+        gk = dv["fg"]["Conv3D_0"]["kernel"][0, 0, 0].astype(dt)
+        gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
+        gate = nn.sigmoid(pooled @ gk + gb)
+        y = (yg * gate[:, None, None, None, :]).reshape(B, h, w, 8 * cout)
+        # packed channel layout is (phase)(t)(c); depth_to_space expects
+        # phase-major which this is — unpack to (2h, 2w, 2*cout)
+        return depth_to_space(y)
 
     def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int):
         """dec4 + fuse + 7x7 head without leaving half resolution."""

@@ -20,14 +20,18 @@ REF_MODEL = "/root/reference/generate_dataset/upsampling/utils/model.py"
 
 @pytest.fixture(scope="module")
 def ref_model():
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tr = types.ModuleType("torchvision.transforms")
-        for name in ("Normalize", "Compose", "ToTensor"):
+    # other test modules may have installed their own partial torchvision
+    # shim (test_reference_parity) — ensure the pieces model.py imports
+    # exist regardless of test ordering
+    tv = sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    tr = sys.modules.setdefault(
+        "torchvision.transforms", types.ModuleType("torchvision.transforms")
+    )
+    for name in ("Normalize", "Compose", "ToTensor"):
+        if not hasattr(tr, name):
             setattr(tr, name, type(name, (), {"__init__": lambda self, *a, **k: None}))
+    if not hasattr(tv, "transforms"):
         tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
     spec = importlib.util.spec_from_file_location("ref_slomo_model", REF_MODEL)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
