@@ -181,9 +181,18 @@ class _BasicBlock3D(nn.Module):
 
 
 class _Encoder3D(nn.Module):
-    """r3d_18 (resnet_3D.py:218-327): stem + 4 layers of 2 BasicBlocks."""
+    """r3d_18 (resnet_3D.py:218-327): stem + 4 layers of 2 BasicBlocks.
+
+    fast: run layer1 (the only stride-1 stage at full feature resolution)
+    in 2x2 space-to-depth form — both 3x3 convs become VALID 2x2 block
+    convs at 4x channel width; each BasicBlock maps the shifted packing to
+    itself (conv1: shifted->standard, conv2: standard->shifted-equivalent,
+    residual aligns via the pixel-pair identity), so the two blocks chain
+    with a single pack/unpack around the stage.
+    """
 
     channels: Sequence[int]
+    fast: bool = False
 
     @nn.compact
     def __call__(self, x):  # packed (B, H, W, 2*3)
@@ -193,8 +202,12 @@ class _Encoder3D(nn.Module):
             kernel_init=kaiming_out_init(), name="stem",
         )(x)
         x0 = nn.relu(stem)
-        x1 = _BasicBlock3D(c0, name="layer1_0")(x0)
-        x1 = _BasicBlock3D(c0, name="layer1_1")(x1)
+        b10 = _BasicBlock3D(c0, name="layer1_0")
+        b11 = _BasicBlock3D(c0, name="layer1_1")
+        if self.fast and not self.is_initializing() and x0.shape[1] % 2 == 0 and x0.shape[2] % 2 == 0:
+            x1 = self._layer1_s2d(x0, (b10, b11), c0)
+        else:
+            x1 = b11(b10(x0))
         x2 = _BasicBlock3D(c1, (2, 2), downsample=True, name="layer2_0")(x1)
         x2 = _BasicBlock3D(c1, name="layer2_1")(x2)
         x3 = _BasicBlock3D(c2, (2, 2), downsample=True, name="layer3_0")(x2)
@@ -202,6 +215,53 @@ class _Encoder3D(nn.Module):
         x4 = _BasicBlock3D(c3, (1, 1), downsample=True, name="layer4_0")(x3)
         x4 = _BasicBlock3D(c3, name="layer4_1")(x4)
         return x0, x1, x2, x3, x4
+
+    def _layer1_s2d(self, x0, blocks, C: int):
+        """Both layer-1 BasicBlocks on the 2x2 shifted packing."""
+        from ..ops.s2d import (
+            conv3x3_weight_to_s2d,
+            conv2x2_valid,
+            depth_to_space,
+            shift_packed,
+            space_to_depth,
+        )
+
+        dt = x0.dtype
+        B, H, W, C2 = x0.shape  # C2 = 2C (T-packed)
+        h, w = H // 2, W // 2
+        xs = shift_packed(space_to_depth(x0))  # (B, h+1, w+1, 4*2C)
+
+        # odd-alignment boundary mask: pixel rows -1/H live in the first
+        # block row's a=0 half and last row's a=1 half (same for columns)
+        m = np.ones((1, h + 1, w + 1, 2, 2, 1), np.float32)
+        m[:, 0, :, 0] = 0.0
+        m[:, h, :, 1] = 0.0
+        m[:, :, 0, :, 0] = 0.0
+        m[:, :, w, :, 1] = 0.0
+        mask = jnp.asarray(m, dt)
+
+        pad1 = lambda t: jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for block in blocks:
+            bv = block.variables["params"]
+            w1 = conv3x3_weight_to_s2d(_pack(bv["conv1"]["kernel"].astype(dt)))
+            w2 = conv3x3_weight_to_s2d(_pack(bv["conv2"]["kernel"].astype(dt)))
+            a = nn.relu(conv2x2_valid(xs, w1))           # (h, w) standard
+            o = conv2x2_valid(pad1(a), w2)               # (h+1, w+1) shifted
+            og = o.reshape(B, h + 1, w + 1, 2, 2, C2) * mask
+            # SEGating (resnet_3D.py:89-105): mean over (T, H, W) per
+            # channel — boundary zeros don't contribute; divide by the
+            # true element count, not the padded grid
+            oc = og.reshape(B, h + 1, w + 1, 2, 2, 2, C)
+            pooled = oc.sum(axis=(1, 2, 3, 4, 5)) / jnp.asarray(2 * H * W, dt)
+            gv = bv["fg"]["Conv3D_0"]
+            gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
+                              + gv["bias"].astype(dt))
+            oc = oc * gate[:, None, None, None, None, None, :]
+            o = oc.reshape(B, h + 1, w + 1, 4 * C2)
+            xs = nn.relu(o + xs)
+
+        full = depth_to_space(xs)  # (B, 2h+2, 2w+2, 2C) incl. border pixels
+        return full[:, 1 : H + 1, 1 : W + 1]
 
 
 class _ConvSE(nn.Module):
@@ -247,7 +307,9 @@ class UNet3d18(nn.Module):
         rc = list(self.channels)[::-1]  # e.g. [64, 32, 24, 16]
 
         images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
-        x0, x1, x2, x3, x4 = _Encoder3D(self.channels, name="encoder")(images)
+        x0, x1, x2, x3, x4 = _Encoder3D(
+            self.channels, fast=self.fast_tail, name="encoder"
+        )(images)
 
         fast = self.fast_tail and not self.is_initializing()
 
