@@ -205,3 +205,25 @@ def test_fast_control_rows2_matches_scan(rng):
         want = rc.apply(params, feat, ex, t)
         got = rcf.apply(params, feat, ex, t)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_fast_variants_gradients_match_standard(rng):
+    """All fast execution variants are differentiable and produce the same
+    gradients as the standard paths (so they can be used in training)."""
+    model = default_model()
+    fast = default_model(fast_recon=True, fast_detail=True, fast_control=True)
+    frame, event, t, ex = make_inputs(rng, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+
+    def loss(m):
+        def f(p):
+            s, fi = m.apply(p, frame, event, t)
+            return jnp.sum(fi**2) + jnp.sum(s**2)
+        return f
+
+    g_std = jax.grad(loss(model))(params)
+    g_fast = jax.grad(loss(fast))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6),
+        g_std, g_fast,
+    )
