@@ -313,17 +313,10 @@ class UNet3d18(nn.Module):
 
         fast = self.fast_tail and not self.is_initializing()
 
-        d3 = lrelu(_ConvSE(rc[1], name="dec0")(x4))
-        d3 = _concat_packed(d3, x3)
+        dec0 = _ConvSE(rc[1], name="dec0")
         dec1 = _UpConvSE(rc[2], name="dec1")
-        d2 = lrelu(self._upconv_fast(dec1, d3, rc[2]) if fast else dec1(d3))
-        d2 = _concat_packed(d2, x2)
         dec2 = _UpConvSE(rc[3], name="dec2")
-        d1 = lrelu(self._upconv_fast(dec2, d2, rc[3]) if fast else dec2(d2))
-        d1 = _concat_packed(d1, x1)
-        d0 = lrelu(_ConvSE(rc[3], name="dec3")(d1))
-        d0 = _concat_packed(d0, x0)
-
+        dec3 = _ConvSE(rc[3], name="dec3")
         dec4 = _UpConvSE(rc[3], name="dec4")
         fuse = nn.Conv(
             rc[3], (1, 1), use_bias=False,
@@ -337,9 +330,21 @@ class UNet3d18(nn.Module):
             name="outconv",
         )
 
-        if self.fast_tail and not self.is_initializing():
+        if fast:
+            # skip concats stay VIRTUAL (pairs of tensors): materializing
+            # _concat_packed's interleaved layout before a conv costs
+            # layout conversions; consumers split their kernels by input
+            # rows instead (conv(concat(a, b)) == conv_a(a) + conv_b(b))
+            d3 = (lrelu(dec0(x4)), x3)
+            d2 = (lrelu(self._upconv_fast(dec1, d3, rc[2])), x2)
+            d1 = (lrelu(self._upconv_fast(dec2, d2, rc[3])), x1)
+            d0 = (lrelu(self._convse_fast(dec3, d1, rc[3])), x0)
             return self._s2d_tail(d0, dec4, fuse, outconv, rc[3])
 
+        d3 = _concat_packed(lrelu(dec0(x4)), x3)
+        d2 = _concat_packed(lrelu(dec1(d3)), x2)
+        d1 = _concat_packed(lrelu(dec2(d2)), x1)
+        d0 = _concat_packed(lrelu(dec3(d1)), x0)
         dout = lrelu(dec4(d0))
         # packed [t0 | t1] IS the reference's unbind-then-concat layout
         # (model_singleframe.py:218)
@@ -347,25 +352,50 @@ class UNet3d18(nn.Module):
         padded = jnp.pad(fused, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
         return outconv(padded)
 
+    @staticmethod
+    def _split_rows(w, ca: int, cb: int):
+        """Split a conv weight consuming the packed concat
+        [a.t0 | b.t0 | a.t1 | b.t1] (channel axis -2) into the a/b parts,
+        each reassembled in [t0 | t1] order."""
+        wa = jnp.concatenate(
+            [w[..., :ca, :], w[..., ca + cb : 2 * ca + cb, :]], axis=-2
+        )
+        wb = jnp.concatenate(
+            [w[..., ca : ca + cb, :], w[..., 2 * ca + cb :, :]], axis=-2
+        )
+        return wa, wb
+
     def _upconv_fast(self, mod, x, cout: int):
         """_UpConvSE via a 3x3 block conv (no lhs_dilation transpose):
         conv to the s2d-packed output, SE-gate in packed space (pooling
-        over phases == pooling over H, W), then depth-to-space."""
+        over phases == pooling over H, W), then depth-to-space.
+
+        x may be a (a, b) pair representing a virtual packed concat; the
+        block-conv weight is split by input rows and the part convs sum.
+        """
         from ..ops.s2d import depth_to_space, transpose_conv_weight_to_s2d
 
-        dt = x.dtype
-        B, h, w, _ = x.shape
+        parts = x if isinstance(x, tuple) else (x,)
+        dt = parts[0].dtype
+        B, h, w, _ = parts[0].shape
         dv = mod.variables["params"]
         k = dv["upconv"]["kernel"].astype(dt)
         flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         wpk = _pack(flipped)
         wt = transpose_conv_weight_to_s2d(wpk)  # (3, 3, 2Ci, 8Co)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = lax.conv_general_dilated(
-            xp, wt, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if len(parts) == 2:
+            ws = self._split_rows(
+                wt, parts[0].shape[-1] // 2, parts[1].shape[-1] // 2
+            )
+        else:
+            ws = (wt,)
+        conv = lambda t, wk: lax.conv_general_dilated(
+            jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0))), wk, (1, 1),
+            [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
-        ).astype(dt) + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
+        )
+        y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
+        y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
 
         yg = y.reshape(B, h, w, 8, cout)
         pooled = jnp.mean(yg, axis=(1, 2, 3))
@@ -377,8 +407,38 @@ class UNet3d18(nn.Module):
         # phase-major which this is — unpack to (2h, 2w, 2*cout)
         return depth_to_space(y)
 
+    def _convse_fast(self, mod, x, cout: int):
+        """_ConvSE on a virtual packed concat: the conv splits into part
+        convs (no interleaved concat materialization), then SE gating."""
+        parts = x if isinstance(x, tuple) else (x,)
+        dt = parts[0].dtype
+        B, H, W, _ = parts[0].shape
+        dv = mod.variables["params"]
+        wpk = _pack(dv["conv"]["kernel"].astype(dt))  # (3, 3, 2Ci, 2Co)
+        if len(parts) == 2:
+            ws = self._split_rows(
+                wpk, parts[0].shape[-1] // 2, parts[1].shape[-1] // 2
+            )
+        else:
+            ws = (wpk,)
+        conv = lambda t, wk: lax.conv_general_dilated(
+            t, wk, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
+        y = y + jnp.tile(dv["conv"]["bias"].astype(dt), 2)
+        # SEGating on the packed-T tensor (resnet_3D.py:89-105)
+        yg = y.reshape(B, H, W, 2, cout)
+        pooled = jnp.mean(yg, axis=(1, 2, 3))
+        gv = dv["fg"]["Conv3D_0"]
+        gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
+                          + gv["bias"].astype(dt))
+        return (yg * gate[:, None, None, None, :]).reshape(B, H, W, 2 * cout)
+
     def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int):
-        """dec4 + fuse + 7x7 head without leaving half resolution."""
+        """dec4 + fuse + 7x7 head without leaving half resolution.  d0 may
+        be a virtual packed-concat pair."""
         from ..ops.s2d import (
             conv_same_weight_to_s2d,
             depth_to_space,
@@ -387,8 +447,9 @@ class UNet3d18(nn.Module):
         )
 
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
-        dt = d0.dtype
-        B, h, w, _ = d0.shape
+        parts = d0 if isinstance(d0, tuple) else (d0,)
+        dt = parts[0].dtype
+        B, h, w, _ = parts[0].shape
         dv = dec4.variables["params"]
 
         # transposed conv (upconv) -> 3x3 block conv producing the packed
@@ -398,12 +459,18 @@ class UNet3d18(nn.Module):
         flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         wpk = _pack(flipped)  # (4, 4, 2Ci, 2Co)
         wt = transpose_conv_weight_to_s2d(wpk)  # (3, 3, 2Ci, 8Co)
-        xp = jnp.pad(d0, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = lax.conv_general_dilated(
-            xp, wt, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        if len(parts) == 2:
+            ws = self._split_rows(
+                wt, parts[0].shape[-1] // 2, parts[1].shape[-1] // 2
+            )
+        else:
+            ws = (wt,)
+        conv = lambda t, wk: lax.conv_general_dilated(
+            jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0))), wk, (1, 1),
+            [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
-        ).astype(dt)
+        )
+        y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
 
         # SEGating (resnet_3D.py:89-105): pool over (T, H, W) per channel —
