@@ -29,6 +29,10 @@ _EVFI_KEYMAP = {
     "residual": "residual",
     "DetailEnabled": "detail_enabled",
     "channels": "channels",
+    # framework extension (not a reference key): enable the fast execution
+    # variants for TRAINING too — same math, gradient-parity-tested
+    # (tests/test_models.py::test_fast_variants_gradients_match_standard)
+    "FastVariants": "_fast_variants",
 }
 # handled by the trainer, not the module
 _EVFI_IGNORED = {"LoadPretrainEX", "PretrainedEXPath"}
@@ -56,6 +60,11 @@ def _translate(args: Dict, keymap: Dict[str, str], ignored: set) -> Dict:
             out[k] = v  # already snake_case
     if "channels" in out and out["channels"] is not None:
         out["channels"] = tuple(out["channels"])
+    if out.pop("_fast_variants", False):
+        out.setdefault("fast_recon", True)
+        out.setdefault("fast_detail", True)
+        out.setdefault("fast_control", True)
+        out.setdefault("fast_mod", True)  # self-gates to TPU backends
     # frozen_ex passes through as a module field for introspection; the
     # actual freezing is an optimizer concern (optim.subtree_freeze_labels,
     # wired in train/cli.py from the same key).

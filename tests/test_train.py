@@ -251,3 +251,32 @@ def test_spatial_train_step_matches_dp(clip, rng):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         results["dp"][1], results["dpxsp"][1],
     )
+
+
+def test_fast_variants_config_key_trains(clip, rng):
+    """model.args.FastVariants: true enables the fast execution paths for
+    training via the factory; the step runs and improves."""
+    from ebfi_tpu.models.factory import build_model
+
+    model = build_model({"name": "EVFIAutoEx", "args": {
+        "FrameBasech": 8, "EventBasech": 8, "InterCH": 8, "TB": 4,
+        "UseGTEx": True, "step": 2, "DetailEnabled": True,
+        "channels": [4, 6, 8, 12], "FastVariants": True,
+    }})
+    assert model.fast_recon and model.fast_detail and model.fast_control
+
+    B, H, W, TB = 2, 32, 32, 4
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    ex = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), frame, event, t, ex)
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+    state = create_train_state(model, params, tx)
+    step = make_train_step(model, detail_enabled=True)
+    batch = {"frame": frame, "event": event, "t": t, "gt_ex": ex, "target": frame}
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["train_loss"]))
+    assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
