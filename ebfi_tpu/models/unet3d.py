@@ -392,7 +392,6 @@ class UNet3d18(nn.Module):
         conv = lambda t, wk: lax.conv_general_dilated(
             jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0))), wk, (1, 1),
             [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
@@ -424,7 +423,6 @@ class UNet3d18(nn.Module):
         conv = lambda t, wk: lax.conv_general_dilated(
             t, wk, (1, 1), [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["conv"]["bias"].astype(dt), 2)
@@ -468,7 +466,6 @@ class UNet3d18(nn.Module):
         conv = lambda t, wk: lax.conv_general_dilated(
             jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0))), wk, (1, 1),
             [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
@@ -496,7 +493,6 @@ class UNet3d18(nn.Module):
         o = lax.conv_general_dilated(
             shift_packed_reflect(fused), w4, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(dt)
+        )
         o = o + jnp.tile(ov["bias"].astype(dt), 4)
         return depth_to_space(o)

@@ -136,13 +136,15 @@ def _xla_twin(ev, ff, wk, bk, K):
     """Reference XLA computation: 3x3 bank conv + lrelu + FAC (tap-major)."""
     from jax import lax
 
+    # NOTE: no preferred_element_type here — this twin is also the custom
+    # VJP's backward, and the f32-upcast conv breaks the bf16 transpose
+    # (f32 cotangent against bf16 operands)
     cat = jnp.concatenate([ev, ff], axis=-1)
     bank = lax.conv_general_dilated(
         cat, wk.astype(cat.dtype), (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    bank = jax.nn.leaky_relu(bank + bk.astype(jnp.float32), 0.01).astype(ev.dtype)
+    bank = jax.nn.leaky_relu(bank + bk.astype(bank.dtype), 0.01).astype(ev.dtype)
     return _xla_fac(ev, bank, K, layout="tap_major")
 
 

@@ -210,16 +210,14 @@ def conv23_valid(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(
         x, w, (1, 1), [(0, 0), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def conv2x2_valid(x: jax.Array, w: jax.Array) -> jax.Array:
     return lax.conv_general_dilated(
         x, w, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def pixelshuffle_perm(C: int) -> np.ndarray:
@@ -261,8 +259,7 @@ def recon_s2d(
     y = lax.conv_general_dilated(
         x, up_k, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + up_b
+    ) + up_b
     u = jax.nn.leaky_relu(y, slope)
 
     mid_k2 = conv3x3_weight_to_s2d(mid_kernel).astype(x.dtype)

@@ -280,3 +280,28 @@ def test_fast_variants_config_key_trains(clip, rng):
         state, metrics = step(state, batch)
         losses.append(float(metrics["train_loss"]))
     assert np.all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+
+def test_fast_variants_mixed_precision_step(clip, rng):
+    """bf16 compute + FastVariants: the fast-path conv transposes must be
+    dtype-clean under autodiff (regression: preferred_element_type=f32 on
+    the block convs broke the bf16 backward)."""
+    from ebfi_tpu.models.factory import build_model
+
+    model = build_model({"name": "EVFIAutoEx", "args": {
+        "FrameBasech": 8, "EventBasech": 8, "InterCH": 8, "TB": 4,
+        "UseGTEx": True, "step": 2, "DetailEnabled": True,
+        "channels": [4, 6, 8, 12], "FastVariants": True,
+    }})
+    B, H, W, TB = 2, 32, 32, 4
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    ex = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), frame, event, t, ex)
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+    state = create_train_state(model, params, tx)
+    step = make_train_step(model, compute_dtype=jnp.bfloat16, donate=False)
+    batch = {"frame": frame, "event": event, "t": t, "gt_ex": ex, "target": frame}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train_loss"]))
