@@ -211,7 +211,8 @@ def test_fast_variants_gradients_match_standard(rng):
     """All fast execution variants are differentiable and produce the same
     gradients as the standard paths (so they can be used in training)."""
     model = default_model()
-    fast = default_model(fast_recon=True, fast_detail=True, fast_control=True)
+    fast = default_model(fast_recon=True, fast_detail=True, fast_control=True,
+                         fast_mod=True)  # on CPU engages the rows2 conv2/conv3 tail
     frame, event, t, ex = make_inputs(rng, H=24, W=32)
     params = model.init(jax.random.key(0), frame, event, t)
 
