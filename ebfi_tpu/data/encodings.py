@@ -50,24 +50,32 @@ def events_to_stack_np(
 ) -> np.ndarray:
     """Per-polarity temporal-bin count stack, (2, num_bins, H, W) float32.
 
-    Bin-edge arithmetic is float32 with the reference's exact op order
-    (encodings.py:328-331: f32 torch tensors; ``dt = ts[-1]-ts[0]+1e-6``,
-    ``tstart = ts[0]+delta*bi``, ``tend = tstart+delta``), and bins are
-    CLOSED intervals — an event exactly on a shared f32 edge lands in both
-    adjacent bins.  All twins (numpy / C++ / device) share this contract.
+    Bin-edge arithmetic is float64 with the reference's exact op order:
+    the reference's loader concatenates xs/ys/ts/ps into one numpy array
+    (h5dataset.py:337), which promotes to f64 (H5 stores ts as f64,
+    event_packagers.py:47), and only ``ps`` is cast with ``.float()``
+    (h5dataset.py:350) — so `events_to_stack` (encodings.py:324-331)
+    computes ``dt = ts[-1]-ts[0]+1e-6``, ``delta = dt/B``,
+    ``tstart = ts[0]+delta*bi``, ``tend = tstart+delta`` all in f64.
+    Bins are CLOSED intervals — an event exactly on a shared f64 edge
+    lands in both adjacent bins (left/right binary-search slicing).
+    The C++ twin (native/ebfi_host.cpp) shares this contract bit-for-bit;
+    the device twin (ops/event_encoding.py) computes edges in f32 (TPU
+    native precision) and may assign events within ~1 f32 ulp of an edge
+    differently.
     """
     H, W = sensor_size
-    ts = np.asarray(ts, np.float32)
+    ts = np.asarray(ts, np.float64)
     ps = np.asarray(ps, np.float64)
     if ts.sum() == 0 or len(ts) <= 3:
         return np.zeros((2, num_bins, H, W), np.float32)
 
-    dt = np.float32(ts[-1] - ts[0]) + np.float32(1e-6)
-    delta = np.float32(dt / np.float32(num_bins))
+    dt = np.float64(ts[-1] - ts[0]) + np.float64(1e-6)
+    delta = np.float64(dt / np.float64(num_bins))
     out = np.zeros((2, num_bins, H, W), np.float64)
     for bi in range(num_bins):
-        tstart = np.float32(ts[0] + delta * np.float32(bi))
-        tend = np.float32(tstart + delta)
+        tstart = np.float64(ts[0] + delta * np.float64(bi))
+        tend = np.float64(tstart + delta)
         beg = int(np.searchsorted(ts, tstart, side="left"))
         end = int(np.searchsorted(ts, tend, side="right"))
         sl = slice(beg, end)

@@ -42,6 +42,9 @@ class Modification(nn.Module):
             and self.activation == "LeakyReLU"
             and self.norm is None
             and frame_feat.shape[-1] == C1
+            # the Pallas kernel's bias scratch holds K*K tap rows in a
+            # 32-row buffer (mod_fac.py); larger banks fall back to XLA
+            and K * K <= 32
             and jax.default_backend() in ("tpu", "axon")
         )
         if use_fused:

@@ -200,8 +200,8 @@ class SuperSloMo:
             for f, fr in zip(mids, fracs):
                 out_frames.append(np.clip(f[0, :H, :W] + mean, 0.0, 1.0))
                 out_ts.append(t0 + fr * (t1 - t0))
-        out_frames.append(frames[-1])
-        out_ts.append(float(timestamps[-1]))
+        # like the reference, each pair emits I0 + intermediates only; the
+        # sequence's final frame is never written (upsampler.py:119-123)
         return np.stack(out_frames), out_ts
 
 

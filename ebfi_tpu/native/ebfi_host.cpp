@@ -10,10 +10,12 @@
 // Semantics match ebfi_tpu/data/encodings.py exactly:
 // - per-bin event slicing via binary search over sorted timestamps,
 //   bins [tstart, tend] closed on both sides (searchsorted left/right);
-// - bin edges computed in FLOAT32 with the reference's op order
-//   (reference torch tensors are f32: dt = ts[-1]-ts[0]+1e-6,
-//   tstart = ts[0]+delta*bi, tend = tstart+delta) — an event exactly on a
-//   shared f32 edge lands in both adjacent bins, like the reference;
+// - bin edges computed in FLOAT64 with the reference's op order (the
+//   reference's loader promotes ts to f64 via np.concatenate of the f64 H5
+//   ts column, h5dataset.py:337 + event_packagers.py:47, and only casts ps
+//   to f32): dt = ts[-1]-ts[0]+1e-6, delta = dt/B, tstart = ts[0]+delta*bi,
+//   tend = tstart+delta — an event exactly on a shared f64 edge lands in
+//   both adjacent bins, like the reference;
 // - accumulation weight ps^2 into the polarity channel of sign(ps);
 // - out-of-range pixels dropped; <=3 events or all-zero ts -> zeros.
 
@@ -35,20 +37,14 @@ void events_to_stack_f32(
   for (int64_t i = 0; i < n; ++i) ts_sum += ts[i];
   if (ts_sum == 0.0) return;
 
-  const float t0f = static_cast<float>(ts[0]);
-  const float dt = static_cast<float>(ts[n - 1]) - t0f + 1e-6f;
-  const float delta = dt / static_cast<float>(num_bins);
+  const double t0 = ts[0];
+  const double dt = ts[n - 1] - t0 + 1e-6;
+  const double delta = dt / static_cast<double>(num_bins);
   for (int bi = 0; bi < num_bins; ++bi) {
-    const float tstart = t0f + delta * static_cast<float>(bi);
-    const float tend = tstart + delta;
-    // compare in f32 like the reference (ts arrive as doubles holding
-    // values that are exact f32 in the real pipeline)
-    const int64_t beg = std::lower_bound(
-        ts, ts + n, tstart,
-        [](double a, float b) { return static_cast<float>(a) < b; }) - ts;
-    const int64_t end = std::upper_bound(
-        ts, ts + n, tend,
-        [](float a, double b) { return a < static_cast<float>(b); }) - ts;
+    const double tstart = t0 + delta * static_cast<double>(bi);
+    const double tend = tstart + delta;
+    const int64_t beg = std::lower_bound(ts, ts + n, tstart) - ts;
+    const int64_t end = std::upper_bound(ts, ts + n, tend) - ts;
     float* pos = stack + static_cast<int64_t>(bi) * plane;
     float* neg = stack + (static_cast<int64_t>(num_bins) + bi) * plane;
     for (int64_t i = beg; i < end; ++i) {

@@ -62,13 +62,18 @@ def events_to_stack(
     xi = jnp.asarray(xs, jnp.float32).astype(jnp.int32)
     yi = jnp.asarray(ys, jnp.float32).astype(jnp.int32)
 
-    # Bin edges in f32 with the reference's exact op order (its torch
-    # tensors are f32; encodings.py:328-331), bins CLOSED on both sides —
-    # an event exactly on a shared f32 edge lands in BOTH adjacent bins,
-    # matching the numpy/C++ twins and the reference's searchsorted
+    # Bin edges with the reference's exact op order (encodings.py:324-331),
+    # bins CLOSED on both sides — an event exactly on a shared edge lands
+    # in BOTH adjacent bins, matching the reference's binary-search
     # left/right slicing.  Membership per bin b requires
     # tstart[b] <= t <= tend[b]; edge rounding can also open gaps or
     # overlaps between consecutive bins, which this reproduces.
+    # Precision note: the reference (and the numpy/C++ host twins, the
+    # actual data path) computes edges in f64 (its loader promotes ts to
+    # f64, h5dataset.py:337); TPUs have no f64, so this device twin uses
+    # f32 — events within ~1 f32 ulp of a bin edge may be assigned to the
+    # neighboring bin relative to the host path.  Away from edges the
+    # twins are bit-identical.
     t0 = ts[0]
     t1 = ts[jnp.maximum(n_valid - 1, 0)]
     dt = t1 - t0 + jnp.float32(1e-6)

@@ -48,7 +48,15 @@ def init_seeds(seed: int = 0) -> None:
 def _make_loader(cfg: dict, shard_index: int, num_shards: int, real_data: bool, seed: int):
     # config batch_size is GLOBAL; each process loads its 1/num_shards slice
     # and the global batch is assembled across processes (put_global_batch)
-    per_process = max(1, cfg.get("batch_size", 1) // max(num_shards, 1))
+    batch_size = cfg.get("batch_size", 1)
+    num_shards = max(num_shards, 1)
+    if batch_size % num_shards != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be divisible by the number of "
+            f"data-loading processes ({num_shards}) — the global batch is "
+            "assembled as num_shards equal per-process slices"
+        )
+    per_process = batch_size // num_shards
     return EBFIDataLoader(
         cfg["path_to_datalist_txt"],
         cfg["dataset"],

