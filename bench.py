@@ -21,10 +21,13 @@ XLA's cost model (tools/cost_analysis.py -> COST_ANALYSIS.md):
 - plus the in-forward GPU->CPU cv2 blurriness round-trip
   (myutils/utils.py:34-49) and per-frame python dispatch, ~20-50 ms.
 
-=> an estimate RANGE of ~2.5-5 frames/sec/A100.  REF_A100_FPS_ESTIMATE
-uses 5.0 — the FAVORABLE end for the reference — so `vs_baseline` is a
-conservative lower bound with roughly 2x spread toward the better; the
-north-star "2x A100" corresponds to vs_baseline >= 2.0.
+=> an estimate RANGE of ~2.2-5 frames/sec/A100 (COST_ANALYSIS.md puts the
+pure-compute estimate at 2.2-3.8 fps; 5.0 additionally credits the
+reference with best-case overheads).  The emitted JSON carries the full
+uncertainty: `vs_baseline` divides by REF_A100_FPS_RANGE[1] = 5.0 — the
+FAVORABLE end for the reference, so it is a conservative lower bound —
+and `vs_baseline_range` spans [fps/5.0, fps/2.2].  The north-star
+"2x A100" corresponds to vs_baseline >= 2.0.
 """
 import json
 import sys
@@ -32,7 +35,9 @@ import time
 
 import numpy as np
 
-REF_A100_FPS_ESTIMATE = 5.0
+# [low, high] frames/sec for the reference on A100; see module docstring
+# and COST_ANALYSIS.md for the derivation of each end.
+REF_A100_FPS_RANGE = (2.2, 5.0)
 
 
 def main():
@@ -82,7 +87,12 @@ def main():
                 "metric": "interp_frames_per_sec_720p_chip",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / REF_A100_FPS_ESTIMATE, 2),
+                "vs_baseline": round(fps / REF_A100_FPS_RANGE[1], 2),
+                "vs_baseline_range": [
+                    round(fps / REF_A100_FPS_RANGE[1], 2),
+                    round(fps / REF_A100_FPS_RANGE[0], 2),
+                ],
+                "baseline_fps_estimate_range": list(REF_A100_FPS_RANGE),
             }
         )
     )

@@ -36,43 +36,93 @@ def render_frames(
     return frames
 
 
+def sample_thresholds(
+    rng: np.random.Generator,
+    ct_range: Tuple[float, float] = (0.2, 0.5),
+    mu: float = 1.0,
+    sigma: float = 0.1,
+) -> Tuple[float, float]:
+    """Per-sequence contrast-threshold sampling, the reference's scheme
+    (generate_dataset/syn_gopro.py:104-118 with config :14-27):
+    ``Cp ~ U[ct_range]``, ``Cn = gauss(mu, sigma) * Cp``, both clamped to
+    ``ct_range``.  Returns (cp, cn)."""
+    cp = float(rng.uniform(ct_range[0], ct_range[1]))
+    cn = float(rng.normal(mu, sigma)) * cp
+    cp = min(max(cp, ct_range[0]), ct_range[1])
+    cn = min(max(cn, ct_range[0]), ct_range[1])
+    return cp, cn
+
+
 def simulate_events(
     frames: np.ndarray,
     timestamps: np.ndarray,
     contrast_threshold: float = 0.2,
     seed: int = 0,
+    *,
+    cp: Optional[float] = None,
+    cn: Optional[float] = None,
+    refractory_period: float = 0.0,
 ):
     """ESIM-lite: per-pixel log-intensity threshold crossings between
-    consecutive frames, linearly timestamped within the interval.
+    consecutive frames, timestamped by linear interpolation of the
+    log-intensity within the interval.
+
+    Mirrors esim_py's model as configured by the reference
+    (generate_dataset/syn_gopro.py:14-27,104-118):
+
+    - independent positive / negative thresholds ``cp`` / ``cn`` (both
+      default to ``contrast_threshold``); use :func:`sample_thresholds`
+      for the reference's per-sequence randomization;
+    - a per-pixel ``refractory_period``: a crossing fires only if it is
+      more than the refractory period after the pixel's last *emitted*
+      event; the reference level still updates for suppressed crossings
+      (esim_py semantics; reference config uses 1e-4 s);
+    - crossing times are the linear-interpolation solutions
+      ``t = t0 + (level - L0)/(L1 - L0) * (t1 - t0)`` plus a small jitter.
 
     Returns (xs, ys, ts, ps) sorted by t, ps in {-1, +1}, plus the event
     index of each frame (events with t < frame timestamp), matching
     `add_event_indices` (event_packagers.py:204-226).
     """
+    cp = contrast_threshold if cp is None else cp
+    cn = contrast_threshold if cn is None else cn
     rng = np.random.default_rng(seed)
     logI = np.log(frames.astype(np.float64).mean(-1) / 255.0 + 0.02)
     xs_l, ys_l, ts_l, ps_l = [], [], [], []
     N, H, W = logI.shape
     ref = logI[0].copy()
+    last_t = np.full((H, W), -np.inf)
     for n in range(1, N):
         delta = logI[n] - ref
-        n_cross = np.floor(np.abs(delta) / contrast_threshold).astype(np.int64)
+        thr = np.where(delta > 0, cp, cn)
+        n_cross = np.floor(np.abs(delta) / thr).astype(np.int64)
         ys, xs = np.nonzero(n_cross)
         if len(ys) == 0:
             continue
         counts = n_cross[ys, xs]
         pol = np.sign(delta[ys, xs])
+        step = thr[ys, xs] * pol  # signed level increment per crossing
         t0, t1 = timestamps[n - 1], timestamps[n]
+        L0, L1 = logI[n - 1][ys, xs], logI[n][ys, xs]
+        denom = np.where(L1 == L0, 1.0, L1 - L0)
         for k in range(1, counts.max() + 1):
             sel = counts >= k
             m = int(sel.sum())
-            frac = (k - 0.5) / (counts[sel] + 0.5) + rng.uniform(-0.01, 0.01, m)
-            ts_l.append(t0 + np.clip(frac, 0, 1) * (t1 - t0))
-            xs_l.append(xs[sel])
-            ys_l.append(ys[sel])
-            ps_l.append(pol[sel])
-        ref = ref + n_cross * contrast_threshold * np.sign(delta)
-    if not xs_l:
+            level = ref[ys[sel], xs[sel]] + k * step[sel]
+            frac = np.where(
+                (L1 == L0)[sel], 1.0, (level - L0[sel]) / denom[sel]
+            )
+            frac = np.clip(frac + rng.uniform(-0.01, 0.01, m), 0, 1)
+            tk = t0 + frac * (t1 - t0)
+            prev = last_t[ys[sel], xs[sel]]
+            fire = np.isinf(prev) | (tk - prev > refractory_period)
+            last_t[ys[sel][fire], xs[sel][fire]] = tk[fire]
+            ts_l.append(tk[fire])
+            xs_l.append(xs[sel][fire])
+            ys_l.append(ys[sel][fire])
+            ps_l.append(pol[sel][fire])
+        ref = ref + n_cross * thr * np.sign(delta)
+    if not xs_l or not len(np.concatenate(xs_l)):
         return (np.zeros(0),) * 4, np.zeros(N, np.int64)
     xs = np.concatenate(xs_l)
     ys = np.concatenate(ys_l)

@@ -98,36 +98,38 @@ class Trainer:
         """Flatten a loaded window into per-timestamp training batches
         (train_ours.py:226-256).
 
-        NumPeriodPerLoad must be 1 — the same limit the reference has in
-        practice: its loop does ``SeqBlurryF[idxL].squeeze(1)`` and
-        ``view(B, NumP*NumF, ...)`` (train_ours.py:238-243), which only
-        produces model-shaped tensors when NumP == 1 (and every shipped
-        config uses 1).  We raise explicitly instead of mis-shaping.
+        Multi-period loads (``NumPeriodPerLoad > 1``) are flattened into
+        the batch stream: each period contributes its own blurry frame /
+        exposure duty / relative-timestamp row, and the targets are the
+        load's ``NumP * NumF`` latents (the reference's
+        ``view(B, NumP*NumF, ...)``, train_ours.py:238).  This is the
+        generalization the reference's loop *intends* — as shipped its
+        ``SeqBlurryF[idxL].squeeze(1)`` is a no-op for NumP > 1 and the
+        5-D frame crashes in conv2d (train_ours.py:239), so only NumP == 1
+        actually runs there; here both work.
         """
         blurry = window["blurry"]        # (B, L, NumP, H, W, 3)
         events = window["events"]        # (B, L, H, W, 2TB)
-        rel_ts = window["relative_ts"]   # (B, L, NumP, NumI)
+        rel_ts = window["relative_ts"]   # (B, L, NumP, NumP*NumF)
         exposure = window["exposure"]    # (B, L, NumP, 1)
-        latent = window.get("latent")    # (B, L, NumP, NumF, H, W, 3) or None
-        L = blurry.shape[1]
-        num_p = blurry.shape[2]
-        if num_p != 1:
-            raise ValueError(
-                "training consumes NumPeriodPerLoad == 1 windows (the "
-                "reference has the same effective limit, train_ours.py:238-243)"
-            )
+        latent = window.get("latent")    # (B, L, NumP, NumF', H, W, 3) or None
+        B, L, num_p = blurry.shape[:3]
         num_i = rel_ts.shape[-1]
+        if latent is not None:
+            # (B, L, NumP, NumF', H, W, 3) -> (B, L, NumP*NumF', H, W, 3)
+            lat_flat = latent.reshape(B, L, -1, *latent.shape[4:])
         for idx_l in range(L):
-            for i in range(num_i):
-                batch = {
-                    "frame": blurry[:, idx_l, 0],
-                    "event": events[:, idx_l],
-                    "t": rel_ts[:, idx_l, 0, [i]],
-                    "target": latent[:, idx_l, 0, i] if latent is not None else None,
-                }
-                if self.use_gt_ex:
-                    batch["gt_ex"] = exposure[:, idx_l, 0]
-                yield {k: v for k, v in batch.items() if v is not None}
+            for p in range(num_p):
+                for i in range(num_i):
+                    batch = {
+                        "frame": blurry[:, idx_l, p],
+                        "event": events[:, idx_l],
+                        "t": rel_ts[:, idx_l, p, [i]],
+                        "target": lat_flat[:, idx_l, i] if latent is not None else None,
+                    }
+                    if self.use_gt_ex:
+                        batch["gt_ex"] = exposure[:, idx_l, p]
+                    yield {k: v for k, v in batch.items() if v is not None}
 
     def _put(self, batch):
         if self.batch_sharding is not None:

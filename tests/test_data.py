@@ -156,3 +156,70 @@ def test_loader_shard_batch(clip, tmp_path):
     loader.set_epoch(1)
     o1 = loader._shard_order()
     assert o0 != o1
+
+
+# ----------------------------------------------------------------- #
+# ESIM-lite simulator fidelity (reference: generate_dataset/syn_gopro.py)
+
+
+def test_esim_per_polarity_thresholds_shift_ratio():
+    """Raising Cn while holding Cp must suppress negative events: the
+    neg/pos count ratio strictly decreases (syn_gopro.py:104-118 draws Cp
+    and Cn independently, so the two polarities have distinct rates)."""
+    from ebfi_tpu.data.synth import render_frames, simulate_events
+
+    frames = render_frames(24, 32, 40, seed=5, speed=3.0)
+    ts = np.arange(24) / 240.0
+
+    def ratio(cp, cn):
+        (xs, ys, ets, ps), _ = simulate_events(frames, ts, cp=cp, cn=cn)
+        pos, neg = int((ps > 0).sum()), int((ps < 0).sum())
+        assert pos > 0 and neg > 0
+        return neg / pos
+
+    r_sym = ratio(0.2, 0.2)
+    r_hi = ratio(0.2, 0.4)
+    assert r_hi < r_sym * 0.75
+
+
+def test_esim_refractory_caps_per_pixel_rate():
+    """With a refractory period, every pixel's emitted events are spaced
+    by more than the period (esim_py semantics; reference config uses
+    refractory_period=1e-4, syn_gopro.py:17)."""
+    from ebfi_tpu.data.synth import render_frames, simulate_events
+
+    frames = render_frames(24, 32, 40, seed=6, speed=4.0)
+    ts = np.arange(24) / 240.0
+    refr = 2e-3  # half a frame interval, well above the timestamp jitter
+
+    (xs0, ys0, ts0, _), _ = simulate_events(frames, ts, cp=0.05, cn=0.05)
+    (xs, ys, ets, _), _ = simulate_events(frames, ts, cp=0.05, cn=0.05,
+                                          refractory_period=refr)
+    assert len(ets) < len(ts0)  # suppression happened
+
+    pix = (np.asarray(ys, np.int64) << 32) | np.asarray(xs, np.int64)
+    order = np.lexsort((ets, pix))
+    pix_s, ts_s = pix[order], ets[order]
+    same = pix_s[1:] == pix_s[:-1]
+    gaps = (ts_s[1:] - ts_s[:-1])[same]
+    if len(gaps):
+        assert gaps.min() > refr * 0.9
+
+
+def test_esim_sample_thresholds_scheme():
+    """Cp ~ U[range], Cn = gauss(mu, sigma)*Cp, both clamped to range."""
+    from ebfi_tpu.data.synth import sample_thresholds
+
+    rng = np.random.default_rng(0)
+    lo, hi = 0.2, 0.5
+    draws = [sample_thresholds(rng, (lo, hi)) for _ in range(500)]
+    cps = np.array([d[0] for d in draws])
+    cns = np.array([d[1] for d in draws])
+    assert cps.min() >= lo and cps.max() <= hi
+    assert cns.min() >= lo and cns.max() <= hi
+    # mu=1, sigma=0.1 -> cn centred on cp (clamping skews only the tails)
+    assert abs(np.mean(cns - cps)) < 0.02
+    # mu=1.5 pushes cn above cp on average
+    rng2 = np.random.default_rng(1)
+    hi_draws = [sample_thresholds(rng2, (lo, hi), mu=1.5) for _ in range(200)]
+    assert np.mean([d[1] - d[0] for d in hi_draws]) > 0.0

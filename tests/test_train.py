@@ -305,3 +305,48 @@ def test_fast_variants_mixed_precision_step(clip, rng):
     batch = {"frame": frame, "event": event, "t": t, "gt_ex": ex, "target": frame}
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_multi_period_load_flattens_into_batch_stream(clip, rng):
+    """NumPeriodPerLoad=2 windows train: each period contributes its own
+    blurry frame / exposure / relative-ts row against the load's flattened
+    NumP*NumF latent targets (the generalization of train_ours.py:238-248;
+    the reference as shipped crashes on NumP>1 because squeeze(1) no-ops)."""
+    from types import SimpleNamespace
+
+    from ebfi_tpu.train.trainer import Trainer
+
+    dcfg = dataset_cfg(time_bins=4, NumPeriodPerLoad=2, SlidingWindowLoad=2,
+                       NumPeriodPerSeq=2, SlidingWindowSeq=2)
+    loader = EBFIDataLoader(clip, dcfg, batch_size=2, drop_last=True)
+    window = next(iter(loader))
+    B, L, num_p = window["blurry"].shape[:3]
+    assert num_p == 2
+    num_i = window["relative_ts"].shape[-1]
+
+    fake = SimpleNamespace(use_gt_ex=True)
+    batches = list(Trainer._batches_from_window(fake, window))
+    assert len(batches) == L * num_p * num_i
+    for b in batches:
+        assert b["frame"].shape == (B, 32, 32, 3)
+        assert b["t"].shape == (B, 1)
+        assert b["target"].shape == (B, 32, 32, 3)
+        assert b["gt_ex"].shape == (B, 1)
+    # period 1's timestamps are shifted by -1/NumP relative to period 0
+    # (h5dataset GetTimestamp, reference h5dataset.py:360-364)
+    t_p0 = window["relative_ts"][:, 0, 0, :]
+    t_p1 = window["relative_ts"][:, 0, 1, :]
+    np.testing.assert_allclose(t_p1, t_p0 - 0.5, atol=1e-6)
+
+    # and the batches actually train: one DP step with finite loss
+    model = tiny_model()
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 8)),
+        jnp.zeros((1, 1)), jnp.zeros((1, 1)),
+    )
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+    state = create_train_state(model, params, tx)
+    step = make_train_step(model)
+    state, metrics = step(state, batches[0])
+    assert np.isfinite(float(metrics["train_loss"]))

@@ -9,8 +9,10 @@ events with randomized per-sequence contrast thresholds
 The reference simulates with esim_py and SuperSloMo-upsamples first
 (generate_dataset/upsampling/utils/upsampler.py:160-210):
 - event simulation uses the built-in ESIM-lite threshold-crossing
-  simulator (ebfi_tpu/data/synth.py) — same event model, no refractory
-  period;
+  simulator (ebfi_tpu/data/synth.py) with the reference's per-sequence
+  threshold sampling (Cp ~ U[CT_range], Cn = gauss(mu, sigma)*Cp, both
+  clamped; syn_gopro.py:104-118) and refractory period (1e-4 s,
+  syn_gopro.py:17);
 - adaptive upsampling: pass `--slomo_ckpt SuperSloMo.ckpt` to use the
   JAX SuperSloMo port (ebfi_tpu/models/superslomo.py; per-pair insertion
   count = ceil(max flow magnitude), exactly the reference's policy), or
@@ -32,7 +34,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ebfi_tpu.data.packager import package_sequence
-from ebfi_tpu.data.synth import simulate_events
+from ebfi_tpu.data.synth import sample_thresholds, simulate_events
 
 
 def read_frames(seq_dir: str):
@@ -77,6 +79,13 @@ def main():
                    help="SuperSloMo.ckpt for adaptive upsampling")
     p.add_argument("--contrast_min", type=float, default=0.2)
     p.add_argument("--contrast_max", type=float, default=0.5)
+    p.add_argument("--ct_mu", type=float, default=1.0,
+                   help="mean of the Cn/Cp gaussian (syn_gopro.py:23)")
+    p.add_argument("--ct_sigma", type=float, default=0.1,
+                   help="stddev of the Cn/Cp gaussian (syn_gopro.py:24)")
+    p.add_argument("--refractory", type=float, default=1e-4,
+                   help="per-pixel refractory period in seconds "
+                        "(syn_gopro.py:17)")
     p.add_argument("--seed", type=int, default=0)
     flags = p.parse_args()
 
@@ -93,14 +102,20 @@ def main():
         else:
             frames = upsample_linear(frames, flags.upsample_factor)
             ts = np.arange(len(frames)) / (flags.fps * flags.upsample_factor)
-        # randomized per-sequence contrast threshold (syn_gopro.py:80-118)
-        ct = float(rng.uniform(flags.contrast_min, flags.contrast_max))
+        # randomized per-sequence per-polarity thresholds (syn_gopro.py:104-118)
+        cp, cn = sample_thresholds(
+            rng, (flags.contrast_min, flags.contrast_max),
+            flags.ct_mu, flags.ct_sigma,
+        )
         rgb = frames[:, :, :, ::-1]
-        (xs, ys, ets, ps), _ = simulate_events(rgb, ts, contrast_threshold=ct,
-                                               seed=flags.seed)
+        (xs, ys, ets, ps), _ = simulate_events(
+            rgb, ts, seed=flags.seed, cp=cp, cn=cn,
+            refractory_period=flags.refractory,
+        )
         H, W = frames.shape[1:3]
         package_sequence(out, frames, ts, (xs, ys, ets, ps), (H, W))
-        print(f"{name}: {len(frames)} frames, {len(xs)} events (C={ct:.2f}) -> {out}")
+        print(f"{name}: {len(frames)} frames, {len(xs)} events "
+              f"(Cp={cp:.2f}, Cn={cn:.2f}) -> {out}")
 
 
 if __name__ == "__main__":
