@@ -286,7 +286,10 @@ class H5ClipDataset:
                 from ..native import blurry_mean_native
 
                 return blurry_mean_native(raw)
-        return self._frames(indices).astype(np.float32).mean(0) / 255.0
+        # exact reference op order (h5dataset.py:311): uint8 mean in f64
+        # (numpy promotion), cast f32, THEN divide by 255 in f32 — bit-
+        # identical to `torch.from_numpy(FNumpy.mean(0)).float() / 255`
+        return self._frames(indices).mean(0).astype(np.float32) / np.float32(255.0)
 
     def _event_stack(self, start: int, end: int) -> np.ndarray:
         """(H, W, 2*TB) bin-major count stack for frames [start, end]."""

@@ -10,21 +10,19 @@ a conv:
     x'  = lrelu(conv5(concat(ex_scale*exx + x, t_scale*tx + x)))
 
 TPU-first: the module owns stacked per-stage parameters and offers two
-numerically-matched execution paths —
-
-- an XLA path (`lax.scan` over the stacked weights; used on CPU, for
-  autodiff, and as the parity oracle), and
-- a fused Pallas path (`ops.pallas.control_stage`): each stage runs as one
-  kernel that keeps the whole conv/elementwise chain in VMEM, cutting the
-  ~14 intermediate HBM tensors XLA materializes per stage to one
-  read + one write.
+numerically-matched execution paths — an XLA path (`lax.scan` over the
+stacked weights; the parity oracle) and the row-packed `fast` variant
+(`_rows2_path` below).  A fully-fused Pallas stage kernel was prototyped
+in round 1/2 and deleted in round 3: exact parity, but ~35% slower than
+XLA's convs at 360x640x64 (K=64 tap dots underutilize the MXU) and ~2.5x
+slower than the rows2 block-conv formulation — see IMPLEMENTATION_NOTES.md
+"Retired prototypes".
 
 The Ex/T modulation scales are an affine map of a scalar (the reference's
 1x1 conv over a 1x1 "image"), computed for all stages at once.
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -49,10 +47,6 @@ class ResidualControl(nn.Module):
     norm: Optional[str] = None
     activation: str = "LeakyReLU"
     unroll: bool = True          # XLA path: unroll the stage scan
-    # The fused Pallas stage kernel is numerically exact (f32 parity ~1e-20
-    # on device) but currently ~35% slower than XLA's convs at 360x640x64
-    # (K=64 tap dots underutilize the MXU); kept as an option + prototype.
-    use_pallas: bool = False
     # Execution variant (ops/s2d.py): run the whole stack in row-packed
     # space — every 3x3 conv becomes a VALID (2,3) block conv at 2C=128
     # channels (full MXU lanes, 4/3 FLOP tax), stage parities alternate so
@@ -96,16 +90,8 @@ class ResidualControl(nn.Module):
             jnp.einsum("bi,sic->sbc", t.astype(dtype), p["d2"]) + p["d2_b"][:, None, :]
         )
 
-        pallas_ok = (
-            self.use_pallas
-            and self.activation == "LeakyReLU"
-            and jax.default_backend() in ("tpu", "axon")
-            and not os.environ.get("EBFI_DISABLE_PALLAS")
-        )
         if self.fast and data.shape[1] % 2 == 0:
             return self._rows2_path(data, p, ex_scales, t_scales, act)
-        if pallas_ok:
-            return self._pallas_path(data, p, ex_scales, t_scales)
         return self._xla_path(data, p, ex_scales, t_scales, act)
 
     # ------------------------------------------------------------------ #
@@ -208,34 +194,3 @@ class ResidualControl(nn.Module):
             return rows2_unpack_shifted(xs)
         return rows2_unpack_standard(xs)
 
-    def _pallas_path(self, data, p, ex_scales, t_scales):
-        from ..ops.pallas.control_stage import residual_control_stage_pallas
-
-        C = self.basech
-        x = data
-        for s in range(self.step):
-            wa = jnp.concatenate(
-                [p["conv3a"][s].reshape(9 * C, C), p["conv4a"][s].reshape(9 * C, C)],
-                axis=1,
-            )
-            # scalar tables travel in f32 (dynamic sublane indexing of bf16
-            # is not supported by Mosaic)
-            biases = jnp.zeros((8, C), jnp.float32)
-            biases = biases.at[0].set(p["conv3a_b"][s].astype(jnp.float32))
-            biases = biases.at[1].set(p["conv4a_b"][s].astype(jnp.float32))
-            biases = biases.at[2].set(p["conv3b_b"][s].astype(jnp.float32))
-            biases = biases.at[3].set(p["conv4b_b"][s].astype(jnp.float32))
-            biases = biases.at[4].set(p["conv5_b"][s].astype(jnp.float32))
-            scales = jnp.concatenate(
-                [ex_scales[s], t_scales[s]], axis=-1
-            ).astype(jnp.float32)  # (B, 2C)
-            x = residual_control_stage_pallas(
-                x,
-                wa,
-                p["conv3b"][s].reshape(9 * C, C),
-                p["conv4b"][s].reshape(9 * C, C),
-                p["conv5"][s].reshape(9 * 2 * C, C),
-                biases,
-                scales,
-            )
-        return x

@@ -23,6 +23,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -65,18 +66,22 @@ void events_to_stack_f32(
 // the on-the-fly blurry synthesis (mean of the exposure window).
 void blurry_mean_bgr_u8(
     const uint8_t* frames, int64_t n, int64_t H, int64_t W, float* out) {
+  // Exact reference op order (h5dataset.py:311): uint8 mean in float64,
+  // cast to f32, then divide by 255 in f32 — bit-identical to
+  // `torch.from_numpy(FNumpy.mean(0)).float() / 255`.
   const int64_t px = H * W;
-  std::memset(out, 0, sizeof(float) * px * 3);
+  std::vector<double> acc(px * 3, 0.0);
   for (int64_t f = 0; f < n; ++f) {
     const uint8_t* src = frames + f * px * 3;
     for (int64_t i = 0; i < px; ++i) {
-      out[i * 3 + 0] += src[i * 3 + 2];  // B -> R position
-      out[i * 3 + 1] += src[i * 3 + 1];
-      out[i * 3 + 2] += src[i * 3 + 0];  // R -> B position
+      acc[i * 3 + 0] += src[i * 3 + 2];  // B -> R position
+      acc[i * 3 + 1] += src[i * 3 + 1];
+      acc[i * 3 + 2] += src[i * 3 + 0];  // R -> B position
     }
   }
-  const float scale = 1.0f / (255.0f * static_cast<float>(n));
-  for (int64_t i = 0; i < px * 3; ++i) out[i] *= scale;
+  const double dn = static_cast<double>(n);
+  for (int64_t i = 0; i < px * 3; ++i)
+    out[i] = static_cast<float>(acc[i] / dn) / 255.0f;
 }
 
 // ts normalization (h5dataset.py:335): (ts - ts0) / (ts_last - ts0 + 1e-6)

@@ -28,7 +28,13 @@ from ..parallel import make_mesh, dp_shardings, local_shard_info
 from .config import ConfigParser
 from .checkpoint import resume as resume_checkpoint
 from .optim import build_optimizer
-from .train_step import create_train_state, make_train_step, make_eval_step
+from .train_step import (
+    build_adversarial,
+    create_train_state,
+    init_adv_state,
+    make_eval_step,
+    make_train_step,
+)
 from .trainer import Trainer
 from .exposure_step import make_exposure_train_step, make_exposure_eval_step
 from .exposure_trainer import ExposureTrainer
@@ -210,10 +216,35 @@ def main(argv=None):
         compute_dtype = (
             jnp.bfloat16 if tcfg.get("precision", "f32") == "bf16" else None
         )
+        loss_cfg = tcfg.get("loss")
+        adv = build_adversarial(loss_cfg)
+        if adv is not None:
+            # discriminator shapes follow the training frames: the crop
+            # when cropping is on, else the dataset's full resolution
+            da = cp["train_dataloader"]["dataset"].get("data_augment", {})
+            hw = None
+            if da.get("enabled"):
+                for k in ("random_crop", "center_crop"):
+                    sub = da.get(k, {})
+                    if sub.get("enabled"):
+                        hw = tuple(sub["size"])
+                        break
+            if hw is None:
+                hw = tuple(train_loader.datasets[0].spec.gt_resolution)
+            sample = {
+                "target": jnp.zeros((1, *hw, 3)),
+                "frame": jnp.zeros((1, *hw, 3)),
+            }
+            state = state.replace(
+                adv_state=jax.device_put(
+                    init_adv_state(adv, jax.random.key(seed + 1), sample), repl
+                )
+            )
+            logger.info(f"Adversarial loss enabled: {adv.gan_type}")
         trainer = Trainer(
             cp, model, state,
             make_train_step(model, mesh=mesh, detail_enabled=bool(detail),
-                            compute_dtype=compute_dtype),
+                            compute_dtype=compute_dtype, loss_cfg=loss_cfg),
             make_eval_step(model, mesh=mesh),
             train_loader, valid_loader, writer=writer, batch_sharding=batch_sh,
             model_name=model_name,

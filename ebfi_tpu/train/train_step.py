@@ -6,6 +6,18 @@ iterations, swapped afterwards; detail-free models use a single term.  The
 phase switch is a `jnp.where` on the step counter, so one compiled program
 covers both phases (no retrace at iteration 10k).
 
+The loss composition is config-driven beyond the shipped default: the
+reference *constructs* a full loss dict — including the discriminator-
+owning `Adversarial` pack and LPIPS (train_ours.py:757-767) — but its
+shipped loss computation only ever applies Lap+census.  Here the same
+extras are reachable from config (`trainer.loss`): `adversarial.enabled`
+adds the GAN generator term and steps the discriminator (its params and
+optimizer state live in ``TrainState.adv_state``, the functional analogue
+of the reference's optimizer-inside-the-loss pattern,
+loss/adversarial.py:86-141), and `perceptual.enabled` adds an LPIPS term.
+With neither enabled the step is bit-identical to the plain Lap+census
+step.
+
 Gradient accumulation uses optax.MultiSteps (average over `accu_step`
 micro-steps == the reference's loss/accu_step division + deferred
 optimizer.step, train_ours.py:266-277).  Data parallelism: params
@@ -32,6 +44,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
+    # discriminator params/opt-state/key when the adversarial loss term is
+    # enabled (config `trainer.loss.adversarial`); None otherwise
+    adv_state: Any = None
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -87,6 +102,43 @@ def make_loss_fn(
     return loss_fn
 
 
+def build_adversarial(loss_cfg: Optional[dict]):
+    """Construct the AdversarialLoss pack from `trainer.loss.adversarial`
+    config (None when absent/disabled).  The reference constructs
+    `Adversarial(PatchSize=crop, gan_type='STGAN')` with the same defaults
+    (train_ours.py:763)."""
+    acfg = (loss_cfg or {}).get("adversarial", {})
+    if not acfg.get("enabled", False):
+        return None
+    from ..losses.adversarial import AdversarialLoss
+
+    return AdversarialLoss(
+        patch_size=int(acfg.get("patch_size", 32)),
+        gan_type=acfg.get("gan_type", "STGAN"),
+        gan_k=int(acfg.get("gan_k", 1)),
+    )
+
+
+def init_adv_state(adv, key, batch_like: Dict[str, Any]):
+    """Initialize discriminator params/opt-state from a sample batch (its
+    `target`/`frame` entries fix the shapes)."""
+    fake = jnp.zeros_like(batch_like["target"])
+    frames = jnp.stack([batch_like["frame"], batch_like["frame"]], axis=1)
+    return adv.init(key, fake, fake, frames)
+
+
+def _build_lpips_term(loss_cfg: Optional[dict]):
+    pcfg = (loss_cfg or {}).get("perceptual", {})
+    if not pcfg.get("enabled", False):
+        return None, 0.0
+    from ..losses import LPIPS, load_lpips_params
+
+    lp = LPIPS(load_lpips_params(
+        pcfg.get("lpips_weights"), pcfg.get("alexnet_weights")
+    ))
+    return lp, float(pcfg.get("weight", 0.1))
+
+
 def make_train_step(
     model,
     mesh=None,
@@ -95,12 +147,25 @@ def make_train_step(
     donate: bool = True,
     compute_dtype=None,
     spatial: bool = False,
+    loss_cfg: Optional[dict] = None,
 ):
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: frame (B,H,W,3), event (B,H,W,2TB), t (B,1), gt_ex (B,1) or
     absent, target (B,H,W,3).  compute_dtype=jnp.bfloat16 enables
     mixed-precision training (f32 master params).
+
+    loss_cfg (config `trainer.loss`): optional extra loss terms.
+      adversarial: {enabled, gan_type, weight, gan_k, patch_size} — adds
+        `weight * g_loss` to the generator objective and steps the
+        discriminator inside the train step (state.adv_state must be
+        initialized via `init_adv_state`).  GAN variants that condition on
+        a frame pair (STGAN/FI_*/T_WGAN_GP) receive the blurry input frame
+        duplicated — the reference never wired its constructed GAN into
+        training (train_ours.py:763 vs :258-268), so there is no upstream
+        convention to match.
+      perceptual: {enabled, weight, lpips_weights, alexnet_weights} — adds
+        `weight * LPIPS(final, target)`.
 
     spatial: DP x SP — NHWC batch entries are additionally sharded along H
     over the mesh's ``model`` axis; XLA's SPMD partitioner inserts the conv
@@ -110,6 +175,9 @@ def make_train_step(
     to fit larger per-chip resolutions or cut per-step latency.
     """
     loss_fn = make_loss_fn(detail_enabled, phase_switch_iter, compute_dtype)
+    adv = build_adversarial(loss_cfg)
+    w_adv = float((loss_cfg or {}).get("adversarial", {}).get("weight", 0.01))
+    lpips_term, w_lpips = _build_lpips_term(loss_cfg)
 
     if mesh is not None and spatial:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -126,11 +194,45 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         batch = constrain(batch)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.apply_fn, batch, state.step
-        )
-        new_state = state.apply_gradients(grads)
-        return new_state, {"train_loss": loss}
+        if adv is None and lpips_term is None:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.apply_fn, batch, state.step
+            )
+            return state.apply_gradients(grads), {"train_loss": loss}
+
+        if adv is not None and state.adv_state is None:
+            raise ValueError(
+                "adversarial loss is enabled but state.adv_state is not "
+                "initialized — call init_adv_state() and "
+                "state.replace(adv_state=...) first"
+            )
+
+        def full_loss(params):
+            loss, aux = loss_fn(params, state.apply_fn, batch, state.step)
+            final = aux["final"]
+            extras: Dict[str, jax.Array] = {}
+            if lpips_term is not None:
+                lp = jnp.mean(lpips_term._distance(
+                    jnp.clip(final, 0.0, 1.0), batch["target"]
+                ))
+                loss = loss + w_lpips * lp
+                extras["lpips_loss"] = lp
+            new_adv = state.adv_state
+            if adv is not None:
+                frames = jnp.stack([batch["frame"], batch["frame"]], axis=1)
+                new_adv, g_loss, d_loss = adv.step(
+                    state.adv_state, final, batch["target"], frames
+                )
+                loss = loss + w_adv * g_loss
+                extras["g_loss"] = g_loss
+                extras["d_loss"] = d_loss
+            return loss, (extras, new_adv)
+
+        (loss, (extras, new_adv)), grads = jax.value_and_grad(
+            full_loss, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(adv_state=new_adv)
+        return new_state, {"train_loss": loss, **extras}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -102,33 +102,6 @@ def test_residual_control_unroll_invariance(rng):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
-def test_residual_control_pallas_stage_matches_xla(rng):
-    """The fused Pallas stage (interpret mode on CPU) == the XLA stage."""
-    from ebfi_tpu.ops.pallas.control_stage import (
-        residual_control_stage_pallas,
-        _xla_stage_twin,
-    )
-
-    B, H, W, C = 2, 8, 16, 8
-    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
-    wa = jnp.asarray(rng.standard_normal((9 * C, 2 * C)).astype(np.float32) * 0.1)
-    w3b = jnp.asarray(rng.standard_normal((9 * C, C)).astype(np.float32) * 0.1)
-    w4b = jnp.asarray(rng.standard_normal((9 * C, C)).astype(np.float32) * 0.1)
-    w5 = jnp.asarray(rng.standard_normal((18 * C, C)).astype(np.float32) * 0.1)
-    biases = jnp.asarray(rng.standard_normal((8, C)).astype(np.float32) * 0.1)
-    scales = jnp.asarray(rng.uniform(0, 1, (B, 2 * C)).astype(np.float32))
-
-    ref = _xla_stage_twin(x, wa, w3b, w4b, w5, biases, scales)
-    got = residual_control_stage_pallas(x, wa, w3b, w4b, w5, biases, scales)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
-
-    # gradients flow through the custom VJP (XLA twin backward)
-    g = jax.grad(
-        lambda *a: jnp.sum(residual_control_stage_pallas(*a)), argnums=(0, 1)
-    )(x, wa, w3b, w4b, w5, biases, scales)
-    assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
-
-
 def test_exposure_decision_range(rng):
     ed = ExposureDecision(event_in=8, bl_in=4, inter_ch=16)
     event = jnp.asarray(rng.standard_normal((3, 16, 16, 8)).astype(np.float32))
