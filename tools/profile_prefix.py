@@ -1,0 +1,137 @@
+"""Prefix bisection of the 720p inference tail + per-stage XLA FLOPs.
+
+Times jitted PREFIXES of the tail (RC; RC+Mod; RC+Mod+recon; full) so the
+deltas include exactly the inter-stage glue that separate-stage timings
+miss, and reports XLA cost-model FLOPs per prefix so achieved TF/s is
+grounded in the compiler's own accounting.
+
+    python tools/profile_prefix.py [--chunk 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SYNC_FLOOR = [0.0]
+
+
+def measure_sync_floor():
+    import jax.numpy as jnp
+
+    z = jnp.zeros(())
+    float((z + 0).ravel()[0])
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        float((z + 0).ravel()[0])
+    _SYNC_FLOOR[0] = (time.perf_counter() - t0) / n
+    return _SYNC_FLOOR[0]
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    float(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        float(jax.tree.leaves(out)[0].ravel()[0])
+    return max((time.perf_counter() - t0) / iters - _SYNC_FLOOR[0], 0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=12)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    from ebfi_tpu.models import EVFIAutoEx
+    from ebfi_tpu.utils.precision import to_bf16
+
+    model = EVFIAutoEx(
+        frame_basech=64, event_basech=64, inter_ch=64, tb=16,
+        blurry_fashion="RGBLap", bl_in=4, step=args.steps, dual_path=True,
+        residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True,
+    )
+    rng = np.random.default_rng(0)
+    B, H, W, TB = 1, 720, 1280, 16
+    frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+    event = jnp.asarray(rng.standard_normal((B, H, W, 2 * TB)).astype(np.float32))
+    ts = jnp.asarray(np.full((B, 1), 0.3, np.float32))
+    params = model.init(jax.random.key(0), frame[:, :64, :64], event[:, :64, :64], ts)
+    cp = to_bf16(params)
+
+    floor = measure_sync_floor()
+    print(f"sync floor: {floor*1e3:.2f} ms")
+    CH = args.chunk
+    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+    ff = cast(jnp.repeat(jnp.asarray(rng.standard_normal((1, 360, 640, 64)), jnp.float32), CH, 0))
+    ef = cast(jnp.repeat(jnp.asarray(rng.standard_normal((1, 360, 640, 64)), jnp.float32), CH, 0))
+    exr = cast(jnp.full((CH, 1), 0.42))
+    fp = cast(jnp.repeat(frame, CH, 0))
+    tcol = cast(jnp.asarray(np.linspace(0.05, 0.95, CH, dtype=np.float32))[:, None])
+
+    def prefix(which):
+        def run(ff_, ef_, ex_, fp_, t_):
+            def body(m, ff__, ef__, ex__, fp__, t__):
+                ev = m.residual_control(ef__, ex__, t__)
+                if which == "rc":
+                    return ev
+                fr = m.modification(ff__, ev)
+                if which == "mod":
+                    return fr
+                from ebfi_tpu.ops.s2d import recon_s2d
+                cv = lambda mm: mm.variables["params"]["Conv_0"]
+                sharp = recon_s2d(
+                    fr,
+                    cv(m.recon_up)["kernel"], cv(m.recon_up)["bias"],
+                    cv(m.recon_mid)["kernel"], cv(m.recon_mid)["bias"],
+                    cv(m.recon_out)["kernel"], cv(m.recon_out)["bias"],
+                )
+                if which == "recon":
+                    return sharp
+                final = sharp + m.detail(fp__, sharp)
+                if which == "final_only":
+                    return final
+                return sharp, final
+            return model.apply(cp, ff_, ef_, ex_, fp_, t_, method=body)
+        return jax.jit(run)
+
+    results = {}
+    for which in ("rc", "mod", "recon", "final_only", "full"):
+        fn = prefix(which)
+        comp = fn.lower(ff, ef, exr, fp, tcol).compile()
+        fl = float(comp.cost_analysis().get("flops", float("nan")))
+        t = timed(fn, ff, ef, exr, fp, tcol)
+        results[which] = (t, fl)
+        print(f"prefix {which:10s}: {t*1e3:8.2f} ms = {t/CH*1e3:6.2f} ms/frame "
+              f"| {fl/1e12:7.3f} TFLOP ({fl/CH/1e12:6.3f}/frame) | {fl/t/1e12:6.1f} TF/s")
+
+    keys = ["rc", "mod", "recon", "final_only"]
+    prev_t, prev_f = 0.0, 0.0
+    print("\nstage deltas (prefix differences — include inter-stage glue):")
+    for k in keys:
+        t, fl = results[k]
+        print(f"  +{k:10s}: {(t-prev_t)/CH*1e3:6.2f} ms/frame  "
+              f"{(fl-prev_f)/CH/1e12:6.3f} TFLOP/frame  "
+              f"{(fl-prev_f)/max(t-prev_t,1e-9)/1e12:6.1f} TF/s")
+        prev_t, prev_f = t, fl
+    t_full, _ = results["full"]
+    t_fo, _ = results["final_only"]
+    print(f"  sharp output cost (full - final_only): {(t_full-t_fo)/CH*1e3:6.2f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()

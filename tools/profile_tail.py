@@ -12,7 +12,24 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, iters=5, warmup=2):
+_SYNC_FLOOR = [0.0]
+
+
+def measure_sync_floor():
+    """The axon tunnel adds ~26-50 ms per host read; measure and subtract."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros(())
+    float((z + 0).ravel()[0])
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        float((z + 0).ravel()[0])
+    _SYNC_FLOOR[0] = (time.perf_counter() - t0) / n
+    return _SYNC_FLOOR[0]
+
+
+def timed(fn, *args, iters=10, warmup=2):
     import jax
 
     for _ in range(warmup):
@@ -23,8 +40,9 @@ def timed(fn, *args, iters=5, warmup=2):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
+        # ONE sync per iteration; its cost is subtracted via the floor
         float(jax.tree.leaves(out)[0].ravel()[0])
-    return (time.perf_counter() - t0) / iters
+    return max((time.perf_counter() - t0) / iters - _SYNC_FLOOR[0], 0.0)
 
 
 def main():
@@ -32,6 +50,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--fast", action="store_true",
+                    help="profile the fast execution variants (what the "
+                         "bf16 engine actually runs)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +67,9 @@ def main():
         blurry_fashion="RGBLap", bl_in=4, step=args.steps, dual_path=True,
         residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
     )
+    if args.fast:
+        model = model.clone(fast_recon=True, fast_detail=True,
+                            fast_mod=True, fast_control=True)
     rng = np.random.default_rng(0)
     B, H, W, TB = 1, 720, 1280, 16
     frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
@@ -53,6 +77,8 @@ def main():
     ts = jnp.asarray(np.full((B, 1), 0.3, np.float32))
     params = model.init(jax.random.key(0), frame[:, :64, :64], event[:, :64, :64], ts)
 
+    floor = measure_sync_floor()
+    print(f"sync floor: {floor*1e3:.2f} ms (subtracted from every timing)")
     cp = to_bf16(params) if args.precision == "bf16" else params
     cast = (lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)) if args.precision == "bf16" else (lambda t: t)
     CH = args.chunk
@@ -90,6 +116,32 @@ def main():
     det_fn = jax.jit(lambda f, s: model.apply(cp, f, s, method=lambda m, f_, s_: m.detail(f_, s_)))
     t_det = timed(det_fn, fp, sharp)
 
+    # the tail as ONE jit (what the engine actually scans) — the gap
+    # between this and the sum of the pieces is inter-stage glue
+    tail_fn = jax.jit(lambda ff_, ef_, ex_, fp_, t_: model.apply(
+        cp, ff_, ef_, ex_, fp_, t_, method=EVFIAutoEx.from_timestamp))
+    t_tail = timed(tail_fn, ff, ef, exr, fp, tcol)
+
+    # detail-branch internals: stem+encoder vs decoder/tail
+    from ebfi_tpu.models.unet3d import _Encoder3D
+    enc_mod = _Encoder3D((16, 24, 32, 64), fast=args.fast)
+    enc_params = {"params": cp["params"]["detail"]["encoder"]}
+    enc_fn = jax.jit(lambda f, s: enc_mod.apply(
+        enc_params, jnp.concatenate([f, s], axis=-1)))
+    t_enc = timed(enc_fn, fp, sharp)
+    print(f"  detail encoder only:     {t_enc*1e3:8.2f} ms = {t_enc/CH*1e3:6.2f} ms/frame")
+
+    # stem timing via a standalone conv with the same shape
+    import flax.linen as nn
+    from jax import lax
+    stem_w = jnp.zeros((7, 7, 6, 32), jnp.bfloat16 if args.precision == "bf16" else jnp.float32)
+    stem_fn = jax.jit(lambda x: lax.conv_general_dilated(
+        x, stem_w, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    imgs = jnp.concatenate([fp, sharp], axis=-1)
+    t_stem = timed(stem_fn, imgs)
+    print(f"  detail stem conv (7x7/2): {t_stem*1e3:8.2f} ms = {t_stem/CH*1e3:6.2f} ms/frame")
+
     # full engine
     from ebfi_tpu.infer import InferenceEngine
     NUM_I = 16
@@ -104,6 +156,7 @@ def main():
     print(f"modification/FAC (B={CH}): {t_mod*1e3:8.2f} ms = {t_mod/CH*1e3:6.2f} ms/frame")
     print(f"reconstruction (B={CH}):   {t_recon*1e3:8.2f} ms = {t_recon/CH*1e3:6.2f} ms/frame")
     print(f"detail UNet3d (B={CH}):    {t_det*1e3:8.2f} ms = {t_det/CH*1e3:6.2f} ms/frame")
+    print(f"full tail one-jit (B={CH}): {t_tail*1e3:8.2f} ms = {t_tail/CH*1e3:6.2f} ms/frame")
     parts = t_trunk / NUM_I + (t_rc + t_mod + t_recon + t_det) / CH
     print(f"sum of parts per frame: {parts*1e3:8.2f} ms")
     print(f"engine.interpolate x{NUM_I}: {t_eng*1e3:8.2f} ms -> {fps:.2f} fps")
