@@ -396,12 +396,15 @@ class UNet3d18(nn.Module):
         y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
 
-        yg = y.reshape(B, h, w, 8, cout)
-        pooled = jnp.mean(yg, axis=(1, 2, 3))
+        # flat SE gating: no (.., 8, cout) trailing-dim reshape of the big
+        # tensor (tiny trailing dims force Mosaic relayouts) — pool flat,
+        # collapse the 8 phase groups on the (B, 8*cout) pooled vector,
+        # broadcast the gate back by channel tiling
+        pooled = jnp.mean(y, axis=(1, 2)).reshape(B, 8, cout).mean(axis=1)
         gk = dv["fg"]["Conv3D_0"]["kernel"][0, 0, 0].astype(dt)
         gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
         gate = nn.sigmoid(pooled @ gk + gb)
-        y = (yg * gate[:, None, None, None, :]).reshape(B, h, w, 8 * cout)
+        y = y * jnp.tile(gate, (1, 8))[:, None, None, :]
         # packed channel layout is (phase)(t)(c); depth_to_space expects
         # phase-major which this is — unpack to (2h, 2w, 2*cout)
         return depth_to_space(y)
@@ -426,13 +429,12 @@ class UNet3d18(nn.Module):
         )
         y = sum(conv(t, wk) for t, wk in zip(parts, ws)).astype(dt)
         y = y + jnp.tile(dv["conv"]["bias"].astype(dt), 2)
-        # SEGating on the packed-T tensor (resnet_3D.py:89-105)
-        yg = y.reshape(B, H, W, 2, cout)
-        pooled = jnp.mean(yg, axis=(1, 2, 3))
+        # SEGating on the packed-T tensor (resnet_3D.py:89-105), flat form
+        pooled = jnp.mean(y, axis=(1, 2)).reshape(B, 2, cout).mean(axis=1)
         gv = dv["fg"]["Conv3D_0"]
         gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
                           + gv["bias"].astype(dt))
-        return (yg * gate[:, None, None, None, :]).reshape(B, H, W, 2 * cout)
+        return y * jnp.tile(gate, (1, 2))[:, None, None, :]
 
     def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int):
         """dec4 + fuse + 7x7 head without leaving half resolution.  d0 may
@@ -471,21 +473,23 @@ class UNet3d18(nn.Module):
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 8)
 
         # SEGating (resnet_3D.py:89-105): pool over (T, H, W) per channel —
-        # in packed s2d that is the mean over phases and both t-halves
-        yg = y.reshape(B, h, w, 8, cout)
-        pooled = jnp.mean(yg, axis=(1, 2, 3))  # (B, cout)
+        # in packed s2d that is the mean over phases and both t-halves;
+        # flat form (no tiny-trailing-dim reshape of the big tensor)
+        pooled = jnp.mean(y, axis=(1, 2)).reshape(B, 8, cout).mean(axis=1)
         gk = dv["fg"]["Conv3D_0"]["kernel"][0, 0, 0].astype(dt)
         gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
         gate = nn.sigmoid(pooled @ gk + gb)  # (B, cout)
-        y = (yg * gate[:, None, None, None, :]).reshape(B, h, w, 8 * cout)
+        y = y * jnp.tile(gate, (1, 8))[:, None, None, :]
         dout = lrelu(y)
 
-        # 1x1 fuse: per-phase (2C -> C) channel mix
+        # 1x1 fuse: per-phase (2C -> C) channel mix == one 1x1 conv with a
+        # block-diagonal (4 phase blocks) weight — lane-aligned, no reshape
         fk = fuse.variables["params"]["kernel"][0, 0].astype(dt)  # (2C, C)
-        fused = lrelu(
-            jnp.einsum("bhwpc,cd->bhwpd", dout.reshape(B, h, w, 4, 2 * cout), fk)
-            .reshape(B, h, w, 4 * cout)
-        )
+        zero = jnp.zeros_like(fk)
+        wblk = jnp.block(
+            [[fk if i == j else zero for j in range(4)] for i in range(4)]
+        )  # (8*cout, 4*cout)
+        fused = lrelu(dout @ wblk)
 
         # reflect-pad 7x7 head -> 4x4 block conv on the reflect-shifted packing
         ov = outconv.variables["params"]

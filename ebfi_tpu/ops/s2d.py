@@ -231,6 +231,20 @@ def pixelshuffle_perm(C: int) -> np.ndarray:
     return perm
 
 
+def shifted_phase_mask(h: int, w: int, C: int, dtype) -> jax.Array:
+    """(1, h+1, w+1, 4C) mask zeroing the out-of-image pixels a shifted
+    packing carries at the borders: block row 0 holds pixel row -1 in its
+    a=0 phases, block row h holds pixel row 2h in its a=1 phases (same for
+    columns / b phases).  Multiplying a conv output that *produces* the
+    shifted packing by this mask reproduces shift_packed's zero borders."""
+    m = np.ones((1, h + 1, w + 1, 2, 2, C), np.float32)
+    m[:, 0, :, 0] = 0.0
+    m[:, h, :, 1] = 0.0
+    m[:, :, 0, :, 0] = 0.0
+    m[:, :, w, :, 1] = 0.0
+    return jnp.asarray(m.reshape(1, h + 1, w + 1, 4 * C), dtype)
+
+
 def recon_s2d(
     x: jax.Array,
     up_kernel: jax.Array,
@@ -250,7 +264,15 @@ def recon_s2d(
     x: (B, h, w, C) half-res features.  Weights are the ordinary module
     params (HWIO); they are rearranged in-graph (tiny, jit-time constant
     work per step).  Returns (B, 2h, 2w, 3).
+
+    Parity alternation (same trick as the rows2 path, models/control.py):
+    the (2,2) block-conv weight mapping is packing-parity independent, so
+    conv_mid runs VALID over the one-block-padded STANDARD packing and
+    produces the SHIFTED packing directly (no shift_packed gather), and
+    conv_out consumes that shifted packing directly.  The only extra work
+    vs the convs themselves is the border mask (shift_packed's zeros).
     """
+    B, h, w, _ = x.shape
     C4 = up_kernel.shape[-1]
     C = C4 // 4
     perm = pixelshuffle_perm(C)
@@ -260,13 +282,18 @@ def recon_s2d(
         x, up_k, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + up_b
-    u = jax.nn.leaky_relu(y, slope)
+    u = jax.nn.leaky_relu(y, slope)  # standard packing (B, h, w, 4C)
 
+    # conv_mid: standard -> shifted (VALID over one-block pad)
     mid_k2 = conv3x3_weight_to_s2d(mid_kernel).astype(x.dtype)
-    m = conv2x2_valid(shift_packed(u), mid_k2) + jnp.tile(mid_bias, 4)
-    m = jax.nn.leaky_relu(m, slope)
+    m = lax.conv_general_dilated(
+        u, mid_k2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.tile(mid_bias, 4)
+    m = jax.nn.leaky_relu(m, slope) * shifted_phase_mask(h, w, C, x.dtype)
 
+    # conv_out: shifted -> standard (plain VALID)
     out_k2 = conv3x3_weight_to_s2d(out_kernel).astype(x.dtype)
-    o = conv2x2_valid(shift_packed(m), out_k2) + jnp.tile(out_bias, 4)
+    o = conv2x2_valid(m, out_k2) + jnp.tile(out_bias, 4)
     o = jax.nn.sigmoid(o)
     return depth_to_space(o)

@@ -115,7 +115,7 @@ def main():
         lambda x4_: lrelu(dec0_mod.apply({"params": P["dec0"]}, x4_)),
         x4,
     )
-    d2a = report("  dec1 up (->1/8)", lambda a, b: lrelu(up("dec1", (a, b), 32)), d3a, x3)
+    d2a = report("  dec1 up (->1/8)", lambda a, b: lrelu(up("dec1", (a, b), 24)), d3a, x3)
     d1a = report("  dec2 up (->1/4)", lambda a, b: lrelu(up("dec2", (a, b), 16)), d2a, x2)
     d0a = report("  dec3 conv (1/2)", lambda a, b: lrelu(cse("dec3", (a, b), 16)), d1a, x1)
     report("  s2d tail (dec4+head)", lambda a, b: tail((a, b)), d0a, x0)
@@ -123,7 +123,7 @@ def main():
     # whole decoder+tail in one jit (captures inter-stage glue)
     def dectail(x0_, x1_, x2_, x3_, x4_):
         d3 = (lrelu(dec0_mod.apply({"params": P["dec0"]}, x4_)), x3_)
-        d2 = (lrelu(up("dec1", d3, 32)), x2_)
+        d2 = (lrelu(up("dec1", d3, 24)), x2_)
         d1 = (lrelu(up("dec2", d2, 16)), x1_)
         d0 = (lrelu(cse("dec3", d1, 16)), x0_)
         return tail(d0)
