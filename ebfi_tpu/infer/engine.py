@@ -48,6 +48,10 @@ class InferenceEngine:
         self.params = params
         self.precision = precision
         self.multi_chunk = multi_chunk
+        # hoisted tail: share the T-independent per-stage work across all
+        # timestamps of one frame (reassociation-level math change, so it
+        # rides the fast-math flag; see EVFIAutoEx.hoist)
+        self._hoist = fast_math
         if precision == "bf16":
             from ..utils.precision import to_bf16
 
@@ -87,7 +91,37 @@ class InferenceEngine:
 
             trunk = model.apply(params, frame, event, gt_ex, method=EVFIAutoEx.features)
 
-            if mode == "scan":
+            use_hoist = (
+                mode == "batched"
+                and self._hoist
+                and B == 1
+                and model.dual_path
+                and model.residual
+            )
+            if use_hoist:
+                # B=1 production path: the trunk is never repeated; the
+                # T-independent stage partials are computed once and the
+                # per-timestamp tail runs at batch `chunk`
+                hoisted = model.apply(params, trunk, method=EVFIAutoEx.hoist)
+                chunk = min(N, self.multi_chunk)
+                n_chunks = -(-N // chunk)
+                ts_p = jnp.pad(ts, ((0, 0), (0, n_chunks * chunk - N)), mode="edge")
+                ts_chunks = ts_p.reshape(n_chunks, chunk)
+
+                def tail_h(carry, t_chunk):
+                    sharp, final = model.apply(
+                        params, trunk, hoisted, t_chunk[:, None],
+                        method=EVFIAutoEx.from_timestamp_shared,
+                    )
+                    return carry, (
+                        sharp.astype(jnp.float32), final.astype(jnp.float32)
+                    )
+
+                _, (sharps, finals) = lax.scan(tail_h, 0, ts_chunks)
+                # (n_chunks, chunk, Hp, Wp, 3) -> (N, 1, Hp, Wp, 3)
+                sharps = sharps.reshape(n_chunks * chunk, *sharps.shape[2:])[:N, None]
+                finals = finals.reshape(n_chunks * chunk, *finals.shape[2:])[:N, None]
+            elif mode == "scan":
                 # memory-lean: one tail per step (good for large N / big B)
                 def tail(carry, t_col):
                     sharp, final = model.apply(

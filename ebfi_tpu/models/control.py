@@ -55,8 +55,25 @@ class ResidualControl(nn.Module):
     fast: bool = False
 
     @nn.compact
-    def __call__(self, data: jax.Array, ex: jax.Array, t: jax.Array) -> jax.Array:
-        """data: (B, H, W, C); ex, t: (B, 1) -> (B, H, W, C)."""
+    def __call__(
+        self,
+        data: jax.Array,
+        ex: jax.Array,
+        t: Optional[jax.Array] = None,
+        mode: str = "full",
+        hoisted: Optional[dict] = None,
+    ) -> jax.Array:
+        """data: (B, H, W, C); ex, t: (B, 1) -> (B, H, W, C).
+
+        mode='full' is the reference computation.  The 'hoist'/'tail' pair
+        splits stage 0's T-independent work out of a multi-timestamp sweep:
+        everything in stage 0 except ``conv5v(t_scale*tx + x)`` depends only
+        on (data, ex), which the inference engine shares across all
+        timestamps of one blurry frame — 'hoist' computes those partials
+        once at B=1 and 'tail' (t at batch N, broadcasting against the B=1
+        hoisted tensors) runs only the per-timestamp remainder.  Same math
+        as 'full' up to float reassociation; params unchanged.
+        """
         if self.norm is not None:
             raise NotImplementedError("ResidualControl supports norm=None")
         C, S = self.basech, self.step
@@ -79,20 +96,120 @@ class ResidualControl(nn.Module):
             "conv5_b": self.param("conv5_b", zeros, (S, C)),
         }
         act = activation_fn(self.activation)
-        dtype = data.dtype
+        dtype = (
+            data.dtype if data is not None else jax.tree.leaves(hoisted)[0].dtype
+        )
         p = jax.tree.map(lambda v: v.astype(dtype), p)
 
         # per-stage modulation scales from the scalars: (S, B, C)
-        ex_scales = act(
-            jnp.einsum("bi,sic->sbc", ex.astype(dtype), p["d1"]) + p["d1_b"][:, None, :]
-        )
-        t_scales = act(
-            jnp.einsum("bi,sic->sbc", t.astype(dtype), p["d2"]) + p["d2_b"][:, None, :]
-        )
+        if mode != "tail":
+            ex_scales = act(
+                jnp.einsum("bi,sic->sbc", ex.astype(dtype), p["d1"])
+                + p["d1_b"][:, None, :]
+            )
+        if mode != "hoist":
+            t_scales = act(
+                jnp.einsum("bi,sic->sbc", t.astype(dtype), p["d2"])
+                + p["d2_b"][:, None, :]
+            )
 
+        if mode == "hoist":
+            if self.fast and data.shape[1] % 2 == 0:
+                return self._rows2_hoist(data, p, ex_scales, act)
+            return self._xla_hoist(data, p, ex_scales, act)
+        if mode == "tail":
+            if "xs" in hoisted:  # rows2 hoist marker (static dict key)
+                return self._rows2_tail(hoisted, p, t_scales, act)
+            return self._xla_tail(hoisted, p, t_scales, act)
         if self.fast and data.shape[1] % 2 == 0:
             return self._rows2_path(data, p, ex_scales, t_scales, act)
         return self._xla_path(data, p, ex_scales, t_scales, act)
+
+    # ------------------------------------------------------------------ #
+    # hoist/tail split (multi-timestamp inference)
+
+    def _xla_hoist(self, data, p, ex_scales, act):
+        """Stage 0's T-independent partials at B=1 (broadcast in the tail):
+        tx0 (the T-path pre-modulation features) and hu0 = conv5u(u) + bias
+        (the exposure half of stage 0's fuse conv, u = ex_scale*exx + x)."""
+        C = self.basech
+        x = data
+        a3 = act(_conv3x3(x, p["conv3a"][0], p["conv3a_b"][0]))
+        exx = act(_conv3x3(a3, p["conv3b"][0], p["conv3b_b"][0]))
+        a4 = act(_conv3x3(x, p["conv4a"][0], p["conv4a_b"][0]))
+        tx = act(_conv3x3(a4, p["conv4b"][0], p["conv4b_b"][0]))
+        u = ex_scales[0][:, None, None, :] * exx + x
+        hu = _conv3x3(u, p["conv5"][0, :, :, :C, :], p["conv5_b"][0])
+        return {"x": x, "tx0": tx, "hu0": hu, "ex_scales": ex_scales}
+
+    def _xla_tail(self, hoisted, p, t_scales, act):
+        """Per-timestamp remainder: stage 0 needs only conv5v; stages 1+
+        run in full at batch N."""
+        C, S = self.basech, self.step
+        x, ex_scales = hoisted["x"], hoisted["ex_scales"]
+        v = t_scales[0][:, None, None, :] * hoisted["tx0"] + x
+        out = act(hoisted["hu0"] + _conv3x3(v, p["conv5"][0, :, :, C:, :], 0.0))
+        for s in range(1, S):
+            wa = jnp.concatenate([p["conv3a"][s], p["conv4a"][s]], axis=-1)
+            ba = jnp.concatenate([p["conv3a_b"][s], p["conv4a_b"][s]], axis=-1)
+            a = _conv3x3(out, wa, ba)
+            exx = act(_conv3x3(act(a[..., :C]), p["conv3b"][s], p["conv3b_b"][s]))
+            tx = act(_conv3x3(act(a[..., C:]), p["conv4b"][s], p["conv4b_b"][s]))
+            u = ex_scales[s][:, None, None, :] * exx + out
+            v = t_scales[s][:, None, None, :] * tx + out
+            out = act(
+                _conv3x3(u, p["conv5"][s, :, :, :C, :], p["conv5_b"][s])
+                + _conv3x3(v, p["conv5"][s, :, :, C:, :], 0.0)
+            )
+        return out
+
+    def _rows2_hoist(self, data, p, ex_scales, act):
+        """Stage 0 parity-A partials in row-packed space at B=1."""
+        from ..ops.s2d import (
+            conv23_valid,
+            conv3x3_weight_to_rows2,
+            rows2_pack_shifted,
+        )
+
+        C = self.basech
+        t2 = lambda b: jnp.tile(b, 2)
+        pad1 = lambda x: jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        xs = rows2_pack_shifted(data)
+        hp = xs.shape[1]
+        mask = jnp.ones((1, hp, 1, 2 * C), data.dtype)
+        mask = mask.at[:, 0, :, :C].set(0.0).at[:, hp - 1, :, C:].set(0.0)
+
+        w3a = conv3x3_weight_to_rows2(p["conv3a"][0])
+        w4a = conv3x3_weight_to_rows2(p["conv4a"][0])
+        w3b = conv3x3_weight_to_rows2(p["conv3b"][0])
+        w4b = conv3x3_weight_to_rows2(p["conv4b"][0])
+        w5u = conv3x3_weight_to_rows2(p["conv5"][0, :, :, :C, :])
+        a3 = act(conv23_valid(xs, w3a) + t2(p["conv3a_b"][0]))
+        a4 = act(conv23_valid(xs, w4a) + t2(p["conv4a_b"][0]))
+        exx = act(conv23_valid(pad1(a3), w3b) + t2(p["conv3b_b"][0])) * mask
+        tx = act(conv23_valid(pad1(a4), w4b) + t2(p["conv4b_b"][0])) * mask
+        u = t2(ex_scales[0][:, None, None, :]) * exx + xs
+        hu = conv23_valid(u, w5u)  # standard packing, bias added in the tail
+        return {"xs": xs, "tx0": tx, "hu0": hu, "ex_scales": ex_scales}
+
+    def _rows2_tail(self, hoisted, p, t_scales, act):
+        from ..ops.s2d import (
+            conv23_valid,
+            conv3x3_weight_to_rows2,
+            rows2_unpack_shifted,
+            rows2_unpack_standard,
+        )
+
+        C, S = self.basech, self.step
+        t2 = lambda b: jnp.tile(b, 2)
+        xs, ex_scales = hoisted["xs"], hoisted["ex_scales"]
+        w5v = conv3x3_weight_to_rows2(p["conv5"][0, :, :, C:, :])
+        v = t2(t_scales[0][:, None, None, :]) * hoisted["tx0"] + xs
+        y = act(hoisted["hu0"] + conv23_valid(v, w5v) + t2(p["conv5_b"][0]))
+        out = self._rows2_stages(y, p, ex_scales, t_scales, act, start=1)
+        if S % 2 == 0:
+            return rows2_unpack_shifted(out)
+        return rows2_unpack_standard(out)
 
     # ------------------------------------------------------------------ #
 
@@ -144,6 +261,20 @@ class ResidualControl(nn.Module):
         )
 
         C, S = self.basech, self.step
+        xs = rows2_pack_shifted(data)                # (B, h+1, W, 2C)
+        xs = self._rows2_stages(xs, p, ex_scales, t_scales, act, start=0)
+        if S % 2 == 0:
+            return rows2_unpack_shifted(xs)
+        return rows2_unpack_standard(xs)
+
+    def _rows2_stages(self, xs, p, ex_scales, t_scales, act, start: int):
+        """Stages ``start..S-1`` on row-packed tensors; the input packing is
+        shifted (h+1 blocks) when start is even, standard (h blocks) when
+        odd.  Returns the final packed tensor (caller unpacks by S's
+        parity)."""
+        from ..ops.s2d import conv23_valid, conv3x3_weight_to_rows2
+
+        C, S = self.basech, self.step
         w3a = conv3x3_weight_to_rows2(p["conv3a"])   # (S, 2, 3, 2C, 2C)
         w4a = conv3x3_weight_to_rows2(p["conv4a"])
         w3b = conv3x3_weight_to_rows2(p["conv3b"])
@@ -153,15 +284,14 @@ class ResidualControl(nn.Module):
         t2 = lambda b: jnp.tile(b, 2)
         pad1 = lambda x: jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
-        xs = rows2_pack_shifted(data)                # (B, h+1, W, 2C)
-        hp = xs.shape[1]
+        hp = xs.shape[1] + (start % 2)  # h+1 regardless of entry parity
         # odd-alignment arrays carry pixel rows -1 and H in their first
         # block's row-0 half and last block's row-1 half — those are the
         # conv zero-pad positions and must be masked to zero
-        mask = jnp.ones((1, hp, 1, 2 * C), data.dtype)
+        mask = jnp.ones((1, hp, 1, 2 * C), xs.dtype)
         mask = mask.at[:, 0, :, :C].set(0.0).at[:, hp - 1, :, C:].set(0.0)
 
-        for s in range(S):
+        for s in range(start, S):
             exs = t2(ex_scales[s][:, None, None, :])
             tss = t2(t_scales[s][:, None, None, :])
             if s % 2 == 0:  # parity A: input shifted (h+1 blocks)
@@ -190,7 +320,5 @@ class ResidualControl(nn.Module):
                 ) * mask
                 xs = y  # shifted packing (h+1 blocks) — parity A input
 
-        if S % 2 == 0:
-            return rows2_unpack_shifted(xs)
-        return rows2_unpack_standard(xs)
+        return xs
 

@@ -212,6 +212,65 @@ class EVFIAutoEx(nn.Module):
             final = sharp
         return sharp, final
 
+    def hoist(self, trunk) -> dict:
+        """Precompute the tail work that is T-independent *per stage* (the
+        inference engine shares one trunk across all N timestamps of a
+        blurry frame): ResidualControl stage-0 partials and the
+        frame-feature half of Modification's kernel-bank conv.  Requires
+        dual_path and residual (the flagship config)."""
+        frame_feat, event_feat, ex, frame = trunk
+        h = {
+            "rc": self.residual_control(event_feat, ex, None, mode="hoist"),
+            "mod": self.modification(frame_feat, None, mode="hoist"),
+        }
+        if self.detail_enabled and self.fast_detail:
+            h["stem"] = self.detail(frame, frame, mode="stem_hoist")
+        return h
+
+    def from_timestamp_shared(
+        self, trunk, hoisted: dict, t: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """(sharp, final) for N timestamps sharing one trunk: trunk tensors
+        stay at B=1 (broadcast against the per-timestamp batch N), the
+        hoisted partials replace their recomputation.  Same math as N
+        `from_timestamp` calls up to float reassociation."""
+        frame_feat, event_feat, ex, frame = trunk
+        N = t.shape[0]
+        processed_ev = self.residual_control(None, None, t, mode="tail", hoisted=hoisted["rc"])
+        processed_fr = self.modification(
+            frame_feat, processed_ev, mode="tail", hoisted=hoisted["mod"]
+        )
+        use_s2d = (
+            self.fast_recon
+            and not self.is_initializing()
+            and self.activation == "LeakyReLU"
+            and self.norm is None
+        )
+        if use_s2d:
+            from ..ops.s2d import recon_s2d
+
+            cv = lambda m: m.variables["params"]["Conv_0"]
+            sharp = recon_s2d(
+                processed_fr,
+                cv(self.recon_up)["kernel"], cv(self.recon_up)["bias"],
+                cv(self.recon_mid)["kernel"], cv(self.recon_mid)["bias"],
+                cv(self.recon_out)["kernel"], cv(self.recon_out)["bias"],
+            )
+        else:
+            up = pixel_shuffle(self.recon_up(processed_fr), 2)
+            up = nn.leaky_relu(up, 0.01)
+            sharp = self.recon_out(self.recon_mid(up))
+
+        if self.detail_enabled:
+            if "stem" in hoisted:
+                final = sharp + self.detail(None, sharp, stem_pre=hoisted["stem"])
+            else:
+                frame_n = jnp.broadcast_to(frame, (N, *frame.shape[1:]))
+                final = sharp + self.detail(frame_n, sharp)
+        else:
+            final = sharp
+        return sharp, final
+
     # ------------------------------------------------------------------ #
 
     def __call__(

@@ -21,7 +21,7 @@ lane-padding waste that made the small-channel 3D convs bandwidth-bound.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,14 @@ def _pack(kernel: jax.Array) -> jax.Array:
     if kd == 1:
         return _pack_weight_t1(kernel)
     raise ValueError(f"unsupported temporal extent {kd}")
+
+
+def _stem_weight_s2d(kernel: jax.Array, dtype) -> jax.Array:
+    """Detail-stem (3, 7, 7, 3, c0) temporal-packed then s2d-transformed:
+    (4, 4, 24, 2c0) consuming the standard 2x2 packing of the images."""
+    from ..ops.s2d import conv7s2_weight_to_s2d
+
+    return conv7s2_weight_to_s2d(_pack(kernel.astype(dtype)))
 
 
 def _concat_packed(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -195,13 +203,45 @@ class _Encoder3D(nn.Module):
     fast: bool = False
 
     @nn.compact
-    def __call__(self, x):  # packed (B, H, W, 2*3)
+    def __call__(self, x, stem_pre=None, img1_pk=None):
+        """x: packed images (B, H, W, 2*3), or None when the frame half of
+        the stem was hoisted (stem_pre) and the sharp half arrives s2d-
+        packed (img1_pk)."""
         c0, c1, c2, c3 = self.channels
-        stem = _PConv(
+        stem_mod = _PConv(
             c0, (3, 7, 7), (2, 2), (3, 3), use_bias=False,
             kernel_init=kaiming_out_init(), name="stem",
-        )(x)
-        x0 = nn.relu(stem)
+        )
+        fast_stem = (
+            self.fast
+            and not self.is_initializing()
+            and (x is None or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0))
+        )
+        if fast_stem:
+            # 7x7/2 conv on 6 channels is lane-starved; run it as a 4x4
+            # VALID block conv over the 2x2 packing (ops/s2d.py)
+            from ..ops.s2d import conv7s2_s2d, space_to_depth
+
+            w4 = _stem_weight_s2d(stem_mod.variables["params"]["kernel"],
+                                  (x if x is not None else img1_pk).dtype)
+            if stem_pre is not None:
+                ws = w4.reshape(4, 4, 4, 6, -1)[:, :, :, 3:]
+                ws = ws.reshape(4, 4, 12, w4.shape[-1])
+                x0 = nn.relu(stem_pre + conv7s2_s2d(img1_pk, ws))
+            else:
+                # consume [frame_pk | sharp_pk] concat via an input-channel
+                # permutation of the packed weight (no interleave gather)
+                f_pk = space_to_depth(x[..., :3])
+                s_pk = space_to_depth(x[..., 3:])
+                perm = np.concatenate(
+                    [np.arange(4)[:, None] * 6 + np.arange(3),
+                     np.arange(4)[:, None] * 6 + 3 + np.arange(3)]
+                ).reshape(-1)
+                x0 = nn.relu(conv7s2_s2d(
+                    jnp.concatenate([f_pk, s_pk], axis=-1), w4[:, :, perm, :]
+                ))
+        else:
+            x0 = nn.relu(stem_mod(x))
         b10 = _BasicBlock3D(c0, name="layer1_0")
         b11 = _BasicBlock3D(c0, name="layer1_1")
         if self.fast and not self.is_initializing() and x0.shape[1] % 2 == 0 and x0.shape[2] % 2 == 0:
@@ -301,15 +341,42 @@ class UNet3d18(nn.Module):
     fast_tail: bool = False
 
     @nn.compact
-    def __call__(self, img0: jax.Array, img1: jax.Array) -> jax.Array:
-        """img0, img1: (B, H, W, 3) with H, W divisible by 8 -> (B, H, W, 3)."""
+    def __call__(
+        self,
+        img0: Optional[jax.Array],
+        img1: jax.Array,
+        mode: str = "full",
+        stem_pre: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """img0, img1: (B, H, W, 3) with H, W divisible by 8 -> (B, H, W, 3).
+
+        mode='stem_hoist' returns the frame (img0) half of the stem conv —
+        T-independent, shared across a multi-timestamp sweep; pass it back
+        as `stem_pre` (with img0=None) so only the sharp half runs
+        per-timestamp.  fast_tail only."""
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         rc = list(self.channels)[::-1]  # e.g. [64, 32, 24, 16]
 
-        images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
-        x0, x1, x2, x3, x4 = _Encoder3D(
-            self.channels, fast=self.fast_tail, name="encoder"
-        )(images)
+        enc = _Encoder3D(self.channels, fast=self.fast_tail, name="encoder")
+        if mode == "stem_hoist":
+            from ..ops.s2d import conv7s2_s2d, space_to_depth
+
+            w4 = _stem_weight_s2d(
+                enc.variables["params"]["stem"]["kernel"], img0.dtype
+            )
+            wf = w4.reshape(4, 4, 4, 6, -1)[:, :, :, :3]
+            wf = wf.reshape(4, 4, 12, w4.shape[-1])
+            return conv7s2_s2d(space_to_depth(img0), wf)
+
+        if stem_pre is not None:
+            from ..ops.s2d import space_to_depth
+
+            x0, x1, x2, x3, x4 = enc(
+                None, stem_pre=stem_pre, img1_pk=space_to_depth(img1)
+            )
+        else:
+            images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
+            x0, x1, x2, x3, x4 = enc(images)
 
         fast = self.fast_tail and not self.is_initializing()
 

@@ -132,6 +132,183 @@ def _forward(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int)
     )(catp, evp, wk2, bias)
 
 
+def _kernel_shared(
+    evz_hbm, evr_hbm, ffz_hbm, wke_ref, wkf_ref, bias_ref, o_ref,
+    evzbuf, evrbuf, ffbuf, imcol, ffdot, acc, sem_z, sem_r, sem_f,
+    *, K, TH, W, C, N,
+):
+    """Grid (B, H/TH, N), n fastest.  The frame-feature half of the bank
+    conv is identical for all N timestamps of one blurry frame — compute
+    it once per row band (at n == 0) into the band-persistent `ffdot`
+    scratch and reuse it for the remaining N-1 grid steps.
+
+    evz_hbm: (B*N, H+2, WPC, C128) zero-padded event features (bank-conv
+    input).  evr_hbm: (B*N, H+K-1, WPE, C128) replication-padded event
+    features (FAC input).  ffz_hbm: (B, H+2, WPC, C128) zero-padded frame
+    features.  wke/wkf: (9C, K*K*C) the ev/ff input-channel halves of the
+    bank-conv weight.  ffdot: (TH, W, K*K*C) bf16 band scratch.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n = pl.program_id(2)
+    bn = b * N + n
+    cpz = pltpu.make_async_copy(evz_hbm.at[bn, pl.ds(i * TH, TH + 2), :, :], evzbuf, sem_z)
+    cpr = pltpu.make_async_copy(evr_hbm.at[bn, pl.ds(i * TH, TH + K - 1), :, :], evrbuf, sem_r)
+    cpz.start()
+    cpr.start()
+
+    KK = K * K
+
+    @pl.when(n == 0)
+    def _():
+        cpf = pltpu.make_async_copy(
+            ffz_hbm.at[b, pl.ds(i * TH, TH + 2), :, :], ffbuf, sem_f
+        )
+        cpf.start()
+        cpf.wait()
+        for dy in range(3):
+            for dx in range(3):
+                imcol[:, :, (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = ffbuf[
+                    dy : dy + TH, dx : dx + W, :C
+                ]
+        xf = imcol[...].reshape(TH * W, 9 * C)
+        # column groups of 2C keep the f32 dot temporaries small
+        for g in range(KK // 2 + 1):
+            c0 = g * 2 * C
+            nc = min(2 * C, KK * C - c0)
+            d = jnp.dot(xf, wkf_ref[:, c0 : c0 + nc], preferred_element_type=jnp.float32)
+            ffdot[:, :, c0 : c0 + nc] = d.astype(ffdot.dtype).reshape(TH, W, nc)
+
+    cpz.wait()
+    for dy in range(3):
+        for dx in range(3):
+            imcol[:, :, (dy * 3 + dx) * C : (dy * 3 + dx + 1) * C] = evzbuf[
+                dy : dy + TH, dx : dx + W, :C
+            ]
+    x2 = imcol[...].reshape(TH * W, 9 * C)
+    cpr.wait()
+
+    for tp in range(KK // 2 + 1):
+        t0 = 2 * tp
+        nc = 2 * C if t0 + 1 < KK else C  # last odd tap runs alone
+        d = jnp.dot(
+            x2, wke_ref[:, t0 * C : t0 * C + nc], preferred_element_type=jnp.float32
+        ).reshape(TH, W, nc) + ffdot[:, :, t0 * C : t0 * C + nc].astype(jnp.float32)
+        for t in (t0, t0 + 1):
+            if t >= KK:
+                break
+            kern = _lrelu(d[:, :, (t - t0) * C : (t - t0 + 1) * C] + bias_ref[t, :])
+            ky, kx = t // K, t % K
+            ev_tap = evrbuf[ky : ky + TH, kx : kx + W, :C].astype(jnp.float32)
+            if t == 0:
+                acc[...] = ev_tap * kern
+            else:
+                acc[...] += ev_tap * kern
+    o_ref[0] = acc[...].astype(o_ref.dtype)
+
+
+def _forward_shared(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int):
+    """ev: (B*N, H, W, C) per-timestamp event features; ff: (B, H, W, C)
+    frame features shared by each group of N consecutive batch rows (the
+    engine's b-major timestamp folding).  Same math as
+    ``modification_fac_fused(ev, repeat(ff, N), ...)`` up to the ff-half
+    of the bank accumulating via a bf16 band scratch."""
+    BN, H, W, C = ev.shape
+    B = ff.shape[0]
+    N = BN // B
+    p = (K - 1) // 2
+    dt = ev.dtype
+    c128 = -(-C // 128) * 128
+
+    wpc = -(-(W + 2) // 8) * 8
+    evz = jnp.pad(ev, ((0, 0), (1, 1), (1, wpc - W - 1), (0, c128 - C)))
+    ffz = jnp.pad(ff, ((0, 0), (1, 1), (1, wpc - W - 1), (0, c128 - C)))
+
+    wpe = -(-(W + K - 1) // 8) * 8
+    evr = jnp.pad(ev, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+    evr = jnp.pad(evr, ((0, 0), (0, 0), (0, wpe - (W + K - 1)), (0, c128 - C)))
+
+    wke = wk[:, :, :C, :].reshape(9 * C, K * K * C).astype(dt)
+    wkf = wk[:, :, C:, :].reshape(9 * C, K * K * C).astype(dt)
+    bias = jnp.zeros((32, C), jnp.float32)
+    bias = bias.at[: K * K].set(bk.reshape(K * K, C).astype(jnp.float32))
+
+    TH = 2 if H % 2 == 0 else 1
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return pl.pallas_call(
+        partial(_kernel_shared, K=K, TH=TH, W=W, C=C, N=N),
+        out_shape=jax.ShapeDtypeStruct((BN, H, W, C), dt),
+        grid=(B, H // TH, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, W, C), lambda b, i, n: (b * N + n, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, wpc, c128), dt),
+            pltpu.VMEM((TH + K - 1, wpe, c128), dt),
+            pltpu.VMEM((TH + 2, wpc, c128), dt),
+            pltpu.VMEM((TH, W, 9 * C), dt),
+            pltpu.VMEM((TH, W, K * K * C), jnp.bfloat16),
+            pltpu.VMEM((TH, W, C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(evz, evr, ffz, wke, wkf, bias)
+
+
+def _xla_twin_shared(ev, ff, wk, bk, K):
+    """XLA computation of the shared-ff form: the bank conv splits by input
+    rows (conv(cat(ev, ff)) == conv_ev(ev) + conv_ff(ff)) with the ff half
+    at B=1 broadcast over each frame's N timestamps."""
+    from jax import lax
+
+    BN = ev.shape[0]
+    B, C = ff.shape[0], ff.shape[-1]
+    conv = lambda x, w: lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    bank_ff = conv(ff, wk[:, :, C:, :])  # (B, H, W, KKC)
+    bank_ff = jnp.repeat(bank_ff, BN // B, axis=0)
+    bank = conv(ev, wk[:, :, :C, :]) + bank_ff
+    bank = jax.nn.leaky_relu(bank + bk.astype(bank.dtype), 0.01).astype(ev.dtype)
+    return _xla_fac(ev, bank, K, layout="tap_major")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def modification_fac_fused_shared(ev, ff, wk, bk, kernel_size: int = 5):
+    """Bank-conv + FAC with the frame-feature half shared across each
+    frame's N timestamps (ev batch B*N, ff batch B): the ff half of the
+    bank conv is computed once per row band instead of N times.  Backward
+    via the split XLA twin."""
+    return _forward_shared(ev, ff, wk, bk, kernel_size)
+
+
+def _fwd_shared(ev, ff, wk, bk, kernel_size):
+    return _forward_shared(ev, ff, wk, bk, kernel_size), (ev, ff, wk, bk)
+
+
+def _bwd_shared(kernel_size, res, g):
+    ev, ff, wk, bk = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _xla_twin_shared(a, b, c, d, kernel_size), ev, ff, wk, bk
+    )
+    return vjp(g)
+
+
+modification_fac_fused_shared.defvjp(_fwd_shared, _bwd_shared)
+
+
 def _xla_twin(ev, ff, wk, bk, K):
     """Reference XLA computation: 3x3 bank conv + lrelu + FAC (tap-major)."""
     from jax import lax

@@ -99,6 +99,41 @@ def conv3x3_weight_to_s2d(w: jax.Array) -> jax.Array:
     return conv_same_weight_to_s2d(w)
 
 
+def conv7s2_weight_to_s2d(w: jax.Array) -> jax.Array:
+    """Stride-2 SAME 7x7 conv weight (7, 7, Ci, Co) -> VALID 4x4 block conv
+    weight (4, 4, 4Ci, Co) over the STANDARD 2x2 packing padded by (2, 1)
+    blocks per spatial side (top/left 2, bottom/right 1).
+
+    Derivation: out(i) = sum_dy w[dy] x[2i + dy - 3]; input row 2i+dy-3 is
+    block m = i + (dy - 3 + a')/2 ... i.e. dy = 2*di + a - 1 for block tap
+    di in [0, 4) over blocks i-2..i+1 (structural zeros at dy outside
+    [0, 7)).  One output pixel per input block — the stride-2 output is NOT
+    packed.  This turns the 6-channel lane-starved detail stem into a
+    24-channel block conv (same FLOPs, ~4x lane utilization)."""
+    k, _, Ci, Co = w.shape
+    assert k == 7, "derivation is for k=7, stride 2, pad 3"
+    S = np.zeros((4, 2, k), np.float32)
+    for di in range(4):
+        for a in range(2):
+            dy = 2 * di + a - 1
+            if 0 <= dy < k:
+                S[di, a, dy] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    # [di, dj, a, b, c, o] -> phase-major (a*2+b)*Ci + c input channels
+    w4 = jnp.einsum("iay,jbx,yxco->ijabco", Sj, Sj, w)
+    return w4.reshape(4, 4, 4 * Ci, Co)
+
+
+def conv7s2_s2d(x_pk: jax.Array, w4: jax.Array) -> jax.Array:
+    """Apply a conv7s2_weight_to_s2d weight to a standard 2x2 packing
+    (B, h, w, 4Ci): pad (2, 1) blocks, VALID 4x4 -> (B, h, w, Co)."""
+    xp = jnp.pad(x_pk, ((0, 0), (2, 1), (2, 1), (0, 0)))
+    return lax.conv_general_dilated(
+        xp, w4, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def transpose_conv_weight_to_s2d(wpk: jax.Array) -> jax.Array:
     """Stride-2 k=4 pad=1 transposed-conv weight (dilated-conv form,
     (4, 4, Ci, Co) HWIO as used with lhs_dilation=2, pad 2) -> a plain

@@ -29,6 +29,60 @@ def test_multi_modes_match_per_t_forward(rng):
                                    err_msg=f"mode={mode}")
 
 
+def test_hoisted_tail_matches_per_t_forward(rng):
+    """The B=1 hoisted batched path (fast_math engines) == per-T forwards
+    of the same fast-variant model, up to float reassociation."""
+    model = default_model().clone(
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True
+    )
+    frame, event, t, ex = make_inputs(rng, B=1, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(
+        model, params, precision="f32", multi_chunk=3, fast_math=True
+    )
+    assert engine._hoist
+
+    N = 5
+    ts = jnp.asarray(rng.uniform(0, 1, (1, N)).astype(np.float32))
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    ref_sharp = np.stack([np.asarray(s) for s, _ in per_t])
+    ref_final = np.stack([np.asarray(f) for _, f in per_t])
+
+    sharps, finals = engine.interpolate(frame, event, ts, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(np.asarray(sharps), ref_sharp, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(finals), ref_final, rtol=1e-4, atol=2e-5)
+
+
+def test_hoisted_tail_matches_standard_paths(rng):
+    """Hoisted tail on the STANDARD (non-fast) model paths: exercises the
+    XLA hoist/tail of ResidualControl and the bank-split Modification."""
+    model = default_model()
+    frame, event, t, ex = make_inputs(rng, B=1, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(
+        model, params, precision="f32", multi_chunk=4, fast_math=True
+    )
+    # fast_math=True clones fast variants in; force them off to hit the
+    # standard-path hoist branches
+    engine.model = model
+    assert engine._hoist
+
+    N = 3
+    ts = jnp.asarray(rng.uniform(0, 1, (1, N)).astype(np.float32))
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    sharps, finals = engine.interpolate(frame, event, ts, jnp.zeros((1, 1)))
+    np.testing.assert_allclose(
+        np.asarray(sharps),
+        np.stack([np.asarray(s) for s, _ in per_t]),
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(finals),
+        np.stack([np.asarray(f) for _, f in per_t]),
+        rtol=1e-4, atol=2e-5,
+    )
+
+
 def test_engine_single_forward_matches_model(rng):
     model = default_model()
     frame, event, t, ex = make_inputs(rng)

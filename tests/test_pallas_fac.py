@@ -73,6 +73,35 @@ def test_modification_fac_fused_matches_xla_twin(rng):
     assert all(np.all(np.isfinite(np.asarray(t))) for t in g)
 
 
+def test_modification_fac_fused_shared_matches_twin(rng):
+    """Shared-ff kernel (ff at B, ev at B*N) == the twin on repeated ff."""
+    import jax
+    import jax.numpy as jnp
+
+    from ebfi_tpu.ops.pallas.mod_fac import (
+        modification_fac_fused_shared,
+        _xla_twin,
+    )
+
+    B, N, H, W, C, K = 2, 3, 12, 20, 8, 5
+    ev = jnp.asarray(rng.standard_normal((B * N, H, W, C)).astype(np.float32))
+    ff = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    wk = jnp.asarray(0.1 * rng.standard_normal((3, 3, 2 * C, K * K * C)).astype(np.float32))
+    bk = jnp.asarray(0.1 * rng.standard_normal((K * K * C,)).astype(np.float32))
+
+    got = modification_fac_fused_shared(ev, ff, wk, bk, K)
+    want = _xla_twin(ev, jnp.repeat(ff, N, axis=0), wk, bk, K)
+    # the ff half of the bank rides a bf16 band scratch in the kernel —
+    # tolerance is bf16-rounding scale on that half
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    # gradients flow (split-twin backward); dL/dff sums over the N group
+    loss = lambda e, f: jnp.sum(modification_fac_fused_shared(e, f, wk, bk, K) ** 2)
+    ge, gf = jax.grad(loss, argnums=(0, 1))(ev, ff)
+    assert gf.shape == ff.shape and np.all(np.isfinite(np.asarray(gf)))
+    assert ge.shape == ev.shape and np.all(np.isfinite(np.asarray(ge)))
+
+
 def test_modification_module_fused_flag(rng):
     """Modification(fused=True) falls back to XLA off-TPU and matches."""
     import jax

@@ -50,6 +50,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--hoist", action="store_true",
+                    help="bisect the hoisted (from_timestamp_shared) tail")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +84,69 @@ def main():
     exr = cast(jnp.full((CH, 1), 0.42))
     fp = cast(jnp.repeat(frame, CH, 0))
     tcol = cast(jnp.asarray(np.linspace(0.05, 0.95, CH, dtype=np.float32))[:, None])
+
+    if args.hoist:
+        # hoisted-tail prefixes: trunk at B=1, per-timestamp tail at CH
+        frame1, event1 = cast((frame, jnp.abs(event)))
+        trunk_fn = jax.jit(lambda f, e: model.apply(cp, f, e, None, method=EVFIAutoEx.features))
+        trunk = trunk_fn(frame1, event1)
+        hoist_fn = jax.jit(lambda tr: model.apply(cp, tr, method=EVFIAutoEx.hoist))
+        hoisted = hoist_fn(trunk)
+
+        def prefix(which):
+            def run(tr, h, t_):
+                def body(m, tr_, h_, t__):
+                    frame_feat, event_feat, ex_, frame_ = tr_
+                    ev = m.residual_control(None, None, t__, mode="tail", hoisted=h_["rc"])
+                    if which == "rc":
+                        return ev
+                    fr = m.modification(frame_feat, ev, mode="tail", hoisted=h_["mod"])
+                    if which == "mod":
+                        return fr
+                    from ebfi_tpu.ops.s2d import recon_s2d
+                    cv = lambda mm: mm.variables["params"]["Conv_0"]
+                    sharp = recon_s2d(
+                        fr,
+                        cv(m.recon_up)["kernel"], cv(m.recon_up)["bias"],
+                        cv(m.recon_mid)["kernel"], cv(m.recon_mid)["bias"],
+                        cv(m.recon_out)["kernel"], cv(m.recon_out)["bias"],
+                    )
+                    if which == "recon":
+                        return sharp
+                    if "stem" in h_:
+                        final = sharp + m.detail(None, sharp, stem_pre=h_["stem"])
+                    else:
+                        fr_n = jnp.broadcast_to(frame_, (t__.shape[0], *frame_.shape[1:]))
+                        final = sharp + m.detail(fr_n, sharp)
+                    if which == "final_only":
+                        return final
+                    return sharp, final
+                return model.apply(cp, tr, h, t_, method=body)
+            return jax.jit(run)
+
+        results = {}
+        for which in ("rc", "mod", "recon", "final_only", "full"):
+            fn = prefix(which)
+            comp = fn.lower(trunk, hoisted, tcol).compile()
+            fl = float(comp.cost_analysis().get("flops", float("nan")))
+            t = timed(fn, trunk, hoisted, tcol)
+            results[which] = (t, fl)
+            print(f"prefix {which:10s}: {t*1e3:8.2f} ms = {t/CH*1e3:6.2f} ms/frame "
+                  f"| {fl/1e12:7.3f} TFLOP ({fl/CH/1e12:6.3f}/frame) | {fl/t/1e12:6.1f} TF/s")
+
+        keys = ["rc", "mod", "recon", "final_only"]
+        prev_t, prev_f = 0.0, 0.0
+        print("\nstage deltas (prefix differences — include inter-stage glue):")
+        for k in keys:
+            t, fl = results[k]
+            print(f"  +{k:10s}: {(t-prev_t)/CH*1e3:6.2f} ms/frame  "
+                  f"{(fl-prev_f)/CH/1e12:6.3f} TFLOP/frame  "
+                  f"{(fl-prev_f)/max(t-prev_t,1e-9)/1e12:6.1f} TF/s")
+            prev_t, prev_f = t, fl
+        t_full, _ = results["full"]
+        t_fo, _ = results["final_only"]
+        print(f"  sharp output cost (full - final_only): {(t_full-t_fo)/CH*1e3:6.2f} ms/frame")
+        return
 
     def prefix(which):
         def run(ff_, ef_, ex_, fp_, t_):

@@ -83,10 +83,12 @@ def main():
     cast = (lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)) if args.precision == "bf16" else (lambda t: t)
     CH = args.chunk
 
+    print(f"chunk={CH} steps={args.steps} precision={args.precision}")
     # trunk once at B=1 (padded 720p -> 720x1280 already /8-able)
     trunk_fn = jax.jit(lambda f, e: model.apply(cp, f, e, None, method=EVFIAutoEx.features))
     frame_b, event_b = cast((frame, event))
     t_trunk = timed(trunk_fn, frame_b, event_b)
+    print(f"trunk (B=1):            {t_trunk*1e3:8.2f} ms")
     trunk = trunk_fn(frame_b, event_b)
     frame_feat, event_feat, ex, frame_p = trunk
 
@@ -98,10 +100,35 @@ def main():
     rc_fn = jax.jit(lambda e, x, t: model.apply(cp, e, x, t, method=lambda m, e_, x_, t_: m.residual_control(e_, x_, t_)))
     t_rc = timed(rc_fn, ef, exr, tcol)
     pev = rc_fn(ef, exr, tcol)
+    print(f"residual_control (B={CH}): {t_rc*1e3:8.2f} ms = {t_rc/CH*1e3:6.2f} ms/frame")
 
     mod_fn = jax.jit(lambda f, e: model.apply(cp, f, e, method=lambda m, f_, e_: m.modification(f_, e_)))
     t_mod = timed(mod_fn, ff, pev)
     pfr = mod_fn(ff, pev)
+    print(f"modification/FAC (B={CH}): {t_mod*1e3:8.2f} ms = {t_mod/CH*1e3:6.2f} ms/frame")
+
+    # hoisted variants (what the engine's B=1 batched path runs)
+    rc_h = jax.jit(lambda e, x: model.apply(
+        cp, e, x, None, mode="hoist",
+        method=lambda m, e_, x_, t_, mode: m.residual_control(e_, x_, t_, mode=mode)))
+    hoisted_rc = rc_h(event_feat, ex)
+    rc_tail = jax.jit(lambda h, t: model.apply(
+        cp, None, None, t, mode="tail", hoisted=h,
+        method=lambda m, e_, x_, t_, mode, hoisted: m.residual_control(
+            e_, x_, t_, mode=mode, hoisted=hoisted)))
+    t_rct = timed(rc_tail, hoisted_rc, tcol)
+    print(f"RC hoisted tail (B={CH}):  {t_rct*1e3:8.2f} ms = {t_rct/CH*1e3:6.2f} ms/frame")
+
+    mod_h = jax.jit(lambda f: model.apply(
+        cp, f, None, mode="hoist",
+        method=lambda m, f_, e_, mode: m.modification(f_, e_, mode=mode)))
+    hoisted_mod = mod_h(frame_feat)
+    mod_tail = jax.jit(lambda f, e, h: model.apply(
+        cp, f, e, mode="tail", hoisted=h,
+        method=lambda m, f_, e_, mode, hoisted: m.modification(
+            f_, e_, mode=mode, hoisted=hoisted)))
+    t_modt = timed(mod_tail, frame_feat, pev, hoisted_mod)
+    print(f"mod hoisted tail (B={CH}): {t_modt*1e3:8.2f} ms = {t_modt/CH*1e3:6.2f} ms/frame")
 
     def recon(m, x):
         from ebfi_tpu.ops import pixel_shuffle
@@ -112,15 +139,28 @@ def main():
     recon_fn = jax.jit(lambda x: model.apply(cp, x, method=recon))
     t_recon = timed(recon_fn, pfr)
     sharp = recon_fn(pfr)
+    print(f"reconstruction (B={CH}):   {t_recon*1e3:8.2f} ms = {t_recon/CH*1e3:6.2f} ms/frame")
 
     det_fn = jax.jit(lambda f, s: model.apply(cp, f, s, method=lambda m, f_, s_: m.detail(f_, s_)))
     t_det = timed(det_fn, fp, sharp)
+    print(f"detail UNet3d (B={CH}):    {t_det*1e3:8.2f} ms = {t_det/CH*1e3:6.2f} ms/frame")
 
     # the tail as ONE jit (what the engine actually scans) — the gap
     # between this and the sum of the pieces is inter-stage glue
     tail_fn = jax.jit(lambda ff_, ef_, ex_, fp_, t_: model.apply(
         cp, ff_, ef_, ex_, fp_, t_, method=EVFIAutoEx.from_timestamp))
     t_tail = timed(tail_fn, ff, ef, exr, fp, tcol)
+    print(f"full tail one-jit (B={CH}): {t_tail*1e3:8.2f} ms = {t_tail/CH*1e3:6.2f} ms/frame")
+
+    # hoisted full tail (trunk at B=1)
+    hoist_fn = jax.jit(lambda tr: model.apply(cp, tr, method=EVFIAutoEx.hoist))
+    hoisted_all = hoist_fn(trunk)
+    t_hoist = timed(hoist_fn, trunk)
+    print(f"hoist (B=1, once/frame):  {t_hoist*1e3:8.2f} ms")
+    tailh_fn = jax.jit(lambda tr, h, t_: model.apply(
+        cp, tr, h, t_, method=EVFIAutoEx.from_timestamp_shared))
+    t_tailh = timed(tailh_fn, trunk, hoisted_all, tcol)
+    print(f"hoisted tail one-jit (B={CH}): {t_tailh*1e3:8.2f} ms = {t_tailh/CH*1e3:6.2f} ms/frame")
 
     # detail-branch internals: stem+encoder vs decoder/tail
     from ebfi_tpu.models.unet3d import _Encoder3D
@@ -150,13 +190,6 @@ def main():
     t_eng = timed(lambda: eng.interpolate(frame, event, tsN))
     fps = NUM_I / t_eng
 
-    print(f"chunk={CH} steps={args.steps} precision={args.precision}")
-    print(f"trunk (B=1):            {t_trunk*1e3:8.2f} ms")
-    print(f"residual_control (B={CH}): {t_rc*1e3:8.2f} ms = {t_rc/CH*1e3:6.2f} ms/frame")
-    print(f"modification/FAC (B={CH}): {t_mod*1e3:8.2f} ms = {t_mod/CH*1e3:6.2f} ms/frame")
-    print(f"reconstruction (B={CH}):   {t_recon*1e3:8.2f} ms = {t_recon/CH*1e3:6.2f} ms/frame")
-    print(f"detail UNet3d (B={CH}):    {t_det*1e3:8.2f} ms = {t_det/CH*1e3:6.2f} ms/frame")
-    print(f"full tail one-jit (B={CH}): {t_tail*1e3:8.2f} ms = {t_tail/CH*1e3:6.2f} ms/frame")
     parts = t_trunk / NUM_I + (t_rc + t_mod + t_recon + t_det) / CH
     print(f"sum of parts per frame: {parts*1e3:8.2f} ms")
     print(f"engine.interpolate x{NUM_I}: {t_eng*1e3:8.2f} ms -> {fps:.2f} fps")
