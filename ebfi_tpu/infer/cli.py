@@ -197,7 +197,9 @@ def infer_clip(
             ts = rel_ts[:, idx_l, 0]     # (B, NumI)
             gt_ex = exposure[:, idx_l, 0]
             if engine is not None:
-                _, finals = engine.interpolate(frame, event, ts, gt_ex)
+                _, finals = engine.interpolate(
+                    frame, event, ts, gt_ex, outputs="final"
+                )
                 finals = np.asarray(finals)  # (NumI, B, H, W, 3)
             num_i = ts.shape[-1]
             for i in range(num_i):

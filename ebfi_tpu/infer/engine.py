@@ -75,9 +75,10 @@ class InferenceEngine:
         """(sharp, final) for one timestamp — reference-equivalent call."""
         return self._single(frame, event, t, gt_ex)
 
-    def _build_multi(self, mode: str):
+    def _build_multi(self, mode: str, outputs: str = "both"):
         model, params = self.model, self._compute_params
         cast_in = self._cast_in
+        want_sharp = outputs == "both"
 
         def run(frame, event, ts, gt_ex):
             """frame (B,H,W,3), event (B,H,W,2TB), ts (B,N), gt_ex (B,1)."""
@@ -113,23 +114,29 @@ class InferenceEngine:
                         params, trunk, hoisted, t_chunk[:, None],
                         method=EVFIAutoEx.from_timestamp_shared,
                     )
-                    return carry, (
-                        sharp.astype(jnp.float32), final.astype(jnp.float32)
-                    )
+                    outs = (final.astype(jnp.float32),)
+                    if want_sharp:
+                        outs = (sharp.astype(jnp.float32),) + outs
+                    return carry, outs
 
-                _, (sharps, finals) = lax.scan(tail_h, 0, ts_chunks)
+                _, outs = lax.scan(tail_h, 0, ts_chunks)
                 # (n_chunks, chunk, Hp, Wp, 3) -> (N, 1, Hp, Wp, 3)
-                sharps = sharps.reshape(n_chunks * chunk, *sharps.shape[2:])[:N, None]
-                finals = finals.reshape(n_chunks * chunk, *finals.shape[2:])[:N, None]
+                outs = [
+                    o.reshape(n_chunks * chunk, *o.shape[2:])[:N, None] for o in outs
+                ]
             elif mode == "scan":
                 # memory-lean: one tail per step (good for large N / big B)
                 def tail(carry, t_col):
                     sharp, final = model.apply(
                         params, *carry, t_col[:, None], method=EVFIAutoEx.from_timestamp
                     )
-                    return carry, (sharp.astype(jnp.float32), final.astype(jnp.float32))
+                    outs = (final.astype(jnp.float32),)
+                    if want_sharp:
+                        outs = (sharp.astype(jnp.float32),) + outs
+                    return carry, outs
 
-                _, (sharps, finals) = lax.scan(tail, trunk, ts.T)  # (N, B, ...)
+                _, outs = lax.scan(tail, trunk, ts.T)  # each (N, B, ...)
+                outs = list(outs)
             else:
                 # throughput mode: fold timestamps into the batch so the tail
                 # convs run at batch B*chunk (far better MXU utilization than
@@ -151,32 +158,50 @@ class InferenceEngine:
                         method=EVFIAutoEx.from_timestamp,
                     )
                     Hp, Wp = sharp.shape[1:3]
-                    sh = sharp.reshape(B, chunk, Hp, Wp, 3).transpose(1, 0, 2, 3, 4)
-                    fi = final.reshape(B, chunk, Hp, Wp, 3).transpose(1, 0, 2, 3, 4)
-                    return carry, (sh.astype(jnp.float32), fi.astype(jnp.float32))
+                    tr = lambda x: x.reshape(B, chunk, Hp, Wp, 3).transpose(
+                        1, 0, 2, 3, 4
+                    ).astype(jnp.float32)
+                    outs = (tr(final),)
+                    if want_sharp:
+                        outs = (tr(sharp),) + outs
+                    return carry, outs
 
-                _, (sharps, finals) = lax.scan(tail, trunk_rep, ts_chunks)
+                _, outs = lax.scan(tail, trunk_rep, ts_chunks)
                 # (n_chunks, chunk, B, ...) -> (N, B, ...)
-                sharps = sharps.reshape(n_chunks * chunk, B, *sharps.shape[3:])[:N]
-                finals = finals.reshape(n_chunks * chunk, B, *finals.shape[3:])[:N]
+                outs = [
+                    o.reshape(n_chunks * chunk, B, *o.shape[3:])[:N] for o in outs
+                ]
 
             # (N, B, Hp, Wp, 3) -> crop
-            sharps = sharps[:, :, pt : pt + H, pl : pl + W, :]
-            finals = finals[:, :, pt : pt + H, pl : pl + W, :]
-            return sharps, finals
+            outs = [o[:, :, pt : pt + H, pl : pl + W, :] for o in outs]
+            if want_sharp:
+                return outs[0], outs[1]
+            return None, outs[0]
 
         return jax.jit(run)
 
-    def interpolate(self, frame, event, ts, gt_ex=None, mode: str = "batched"):
+    def interpolate(
+        self,
+        frame,
+        event,
+        ts,
+        gt_ex=None,
+        mode: str = "batched",
+        outputs: str = "both",
+    ):
         """All timestamps at once with trunk reuse.
 
         ts: (B, N) normalized timestamps.  Returns (sharp, final) each
         (N, B, H, W, 3), numerically identical to N calls of `forward`.
         mode: 'batched' folds timestamps into the batch (throughput);
         'scan' sweeps them sequentially (memory-lean for large N).
+        outputs: 'both' or 'final' — 'final' skips materializing the
+        coarse sharp output (returned as None; the reference's inference
+        loop likewise discards it, infer_ours.py:113-118).
         """
-        if mode not in self._multi_cache:
-            self._multi_cache[mode] = self._build_multi(mode)
+        key = (mode, outputs)
+        if key not in self._multi_cache:
+            self._multi_cache[key] = self._build_multi(mode, outputs)
         if gt_ex is None:
             gt_ex = jnp.zeros((frame.shape[0], 1), frame.dtype)
-        return self._multi_cache[mode](frame, event, ts, gt_ex)
+        return self._multi_cache[key](frame, event, ts, gt_ex)

@@ -56,6 +56,76 @@ def _pack(kernel: jax.Array) -> jax.Array:
     raise ValueError(f"unsupported temporal extent {kd}")
 
 
+def _head_weight_l2(w7: jax.Array) -> jax.Array:
+    """Reflect-7x7 head weight (7, 7, C, 3) -> VALID 3x3 block conv
+    (3, 3, 16C, 48) over the NESTED 4x4 packing (outer 2x2 of inner 2x2,
+    channel groups (a2 b2)(a1 b1)(c)) of the full-res fused features.
+
+    Out full-res row y = 4i + ao reads row y + dy - 3 = 4(i + di - 1) + ai,
+    so dy = 4(di - 1) + ai - ao + 3 (structural zeros outside [0, 7));
+    same for columns.  Output channels nested (ao2 bo2)(ao1 bo1)(rgb), so
+    one depth_to_space yields the standard 2x2 packing of the RGB image."""
+    k, _, C, Co = w7.shape
+    S = np.zeros((3, 4, 4, k), np.float32)
+    for di in range(3):
+        for ai in range(4):
+            for ao in range(4):
+                dy = 4 * (di - 1) + ai - ao + 3
+                if 0 <= dy < k:
+                    S[di, ai, ao, dy] = 1.0
+    Sj = jnp.asarray(S, w7.dtype)
+    # [i, j, a, b, c, u, v, o] with a,b canonical in-phases; u,v out-phases
+    Wc = jnp.einsum("iauy,jbvx,yxco->ijabcuvo", Sj, Sj, w7)
+    Wc = Wc.reshape(3, 3, 2, 2, 2, 2, C, 2, 2, 2, 2, Co)
+    # [i j a2 a1 b2 b1 c u2 u1 v2 v1 o] -> [i j a2 b2 a1 b1 c u2 v2 u1 v1 o]
+    Wc = Wc.transpose(0, 1, 2, 4, 3, 5, 6, 7, 9, 8, 10, 11)
+    return Wc.reshape(3, 3, 16 * C, 16 * Co)
+
+
+def _reflect_pad_blocks4(x: jax.Array, C: int) -> jax.Array:
+    """Pad a NESTED 4x4 packing (B, hb, wb, 16C) by one border block per
+    side with torch ReflectionPad(3) semantics on the underlying full-res
+    grid.  Border blocks are channel-group shuffles of the first/last two
+    interior blocks (full row -1 = row 1, -2 = 2, -3 = 3; row H+k = row
+    H-2-k), assembled from contiguous slices."""
+    B, hb, wb, _ = x.shape
+
+    def border(t, axis, blkmap):
+        """One border block along `axis`: output phase p (row/col phase of
+        the border block) <- interior block blkmap[p][0], phase blkmap[p][1]."""
+        groups = []
+        for g_out in range(16):
+            a2, b2 = g_out // 8, (g_out // 4) % 2
+            a1, b1 = (g_out // 2) % 2, g_out % 2
+            if axis == 1:
+                p = 2 * a2 + a1
+                blk, pp = blkmap[p]
+                a2s, a1s = pp // 2, pp % 2
+                gs = (a2s * 2 + b2) * 4 + (a1s * 2 + b1)
+                groups.append(t[:, blk : blk + 1, :, gs * C : (gs + 1) * C])
+            else:
+                p = 2 * b2 + b1
+                blk, pp = blkmap[p]
+                b2s, b1s = pp // 2, pp % 2
+                gs = (a2 * 2 + b2s) * 4 + (a1 * 2 + b1s)
+                groups.append(t[:, :, blk : blk + 1, gs * C : (gs + 1) * C])
+        return jnp.concatenate(groups, axis=-1)
+
+    # top border block (full rows -4..-1): phase 0 = row -4 -> row 4
+    # (block 1 phase 0, never read by the conv but filled correctly);
+    # phases 1..3 = rows -3..-1 -> rows 3..1 (block 0 phases 3..1)
+    topmap = {0: (1, 0), 1: (0, 3), 2: (0, 2), 3: (0, 1)}
+    # bottom border block (rows H..H+3): rows H..H+2 -> H-2..H-4 (block
+    # hb-1 phases 2, 1, 0); phase 3 unused
+    botmap = {0: (hb - 1, 2), 1: (hb - 1, 1), 2: (hb - 1, 0), 3: (hb - 1, 3)}
+    xr = jnp.concatenate([border(x, 1, topmap), x, border(x, 1, botmap)], axis=1)
+    leftmap = {0: (1, 0), 1: (0, 3), 2: (0, 2), 3: (0, 1)}
+    rightmap = {0: (wb - 1, 2), 1: (wb - 1, 1), 2: (wb - 1, 0), 3: (wb - 1, 3)}
+    return jnp.concatenate(
+        [border(xr, 2, leftmap), xr, border(xr, 2, rightmap)], axis=2
+    )
+
+
 def _stem_weight_s2d(kernel: jax.Array, dtype) -> jax.Array:
     """Detail-stem (3, 7, 7, 3, c0) temporal-packed then s2d-transformed:
     (4, 4, 24, 2c0) consuming the standard 2x2 packing of the images."""
@@ -263,6 +333,7 @@ class _Encoder3D(nn.Module):
             conv2x2_valid,
             depth_to_space,
             shift_packed,
+            shifted_phase_mask,
             space_to_depth,
         )
 
@@ -273,12 +344,7 @@ class _Encoder3D(nn.Module):
 
         # odd-alignment boundary mask: pixel rows -1/H live in the first
         # block row's a=0 half and last row's a=1 half (same for columns)
-        m = np.ones((1, h + 1, w + 1, 2, 2, 1), np.float32)
-        m[:, 0, :, 0] = 0.0
-        m[:, h, :, 1] = 0.0
-        m[:, :, 0, :, 0] = 0.0
-        m[:, :, w, :, 1] = 0.0
-        mask = jnp.asarray(m, dt)
+        mask = shifted_phase_mask(h, w, C2, dt)
 
         pad1 = lambda t: jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
         for block in blocks:
@@ -287,17 +353,19 @@ class _Encoder3D(nn.Module):
             w2 = conv3x3_weight_to_s2d(_pack(bv["conv2"]["kernel"].astype(dt)))
             a = nn.relu(conv2x2_valid(xs, w1))           # (h, w) standard
             o = conv2x2_valid(pad1(a), w2)               # (h+1, w+1) shifted
-            og = o.reshape(B, h + 1, w + 1, 2, 2, C2) * mask
+            o = o * mask
             # SEGating (resnet_3D.py:89-105): mean over (T, H, W) per
             # channel — boundary zeros don't contribute; divide by the
-            # true element count, not the padded grid
-            oc = og.reshape(B, h + 1, w + 1, 2, 2, 2, C)
-            pooled = oc.sum(axis=(1, 2, 3, 4, 5)) / jnp.asarray(2 * H * W, dt)
+            # true element count, not the padded grid.  Flat form: pool
+            # the big tensor in its native layout, collapse the 4 phase x
+            # 2 t groups on the (B, 8C) pooled vector (tiny-trailing-dim
+            # reshapes of the big tensor force Mosaic relayouts).
+            pooled = o.sum(axis=(1, 2)).reshape(B, 8, C).sum(axis=1)
+            pooled = pooled / jnp.asarray(2 * H * W, dt)
             gv = bv["fg"]["Conv3D_0"]
             gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
                               + gv["bias"].astype(dt))
-            oc = oc * gate[:, None, None, None, None, None, :]
-            o = oc.reshape(B, h + 1, w + 1, 4 * C2)
+            o = o * jnp.tile(gate, (1, 8))[:, None, None, :]
             xs = nn.relu(o + xs)
 
         full = depth_to_space(xs)  # (B, 2h+2, 2w+2, 2C) incl. border pixels
@@ -347,13 +415,19 @@ class UNet3d18(nn.Module):
         img1: jax.Array,
         mode: str = "full",
         stem_pre: Optional[jax.Array] = None,
+        packed_io: bool = False,
     ) -> jax.Array:
         """img0, img1: (B, H, W, 3) with H, W divisible by 8 -> (B, H, W, 3).
 
         mode='stem_hoist' returns the frame (img0) half of the stem conv —
         T-independent, shared across a multi-timestamp sweep; pass it back
         as `stem_pre` (with img0=None) so only the sharp half runs
-        per-timestamp.  fast_tail only."""
+        per-timestamp.  fast_tail only.
+
+        packed_io (with stem_pre): img1 arrives as the standard 2x2
+        space-to-depth packing (B, H/2, W/2, 12) and the result is returned
+        in the same packing — the caller fuses the residual add and the
+        single depth_to_space (see EVFIAutoEx.from_timestamp_shared)."""
         lrelu = lambda v: nn.leaky_relu(v, 0.2)
         rc = list(self.channels)[::-1]  # e.g. [64, 32, 24, 16]
 
@@ -371,9 +445,8 @@ class UNet3d18(nn.Module):
         if stem_pre is not None:
             from ..ops.s2d import space_to_depth
 
-            x0, x1, x2, x3, x4 = enc(
-                None, stem_pre=stem_pre, img1_pk=space_to_depth(img1)
-            )
+            img1_pk = img1 if packed_io else space_to_depth(img1)
+            x0, x1, x2, x3, x4 = enc(None, stem_pre=stem_pre, img1_pk=img1_pk)
         else:
             images = jnp.concatenate([img0, img1], axis=-1)  # packed (B, H, W, 6)
             x0, x1, x2, x3, x4 = enc(images)
@@ -406,7 +479,11 @@ class UNet3d18(nn.Module):
             d2 = (lrelu(self._upconv_fast(dec1, d3, rc[2])), x2)
             d1 = (lrelu(self._upconv_fast(dec2, d2, rc[3])), x1)
             d0 = (lrelu(self._convse_fast(dec3, d1, rc[3])), x0)
-            return self._s2d_tail(d0, dec4, fuse, outconv, rc[3])
+            if d0[0].shape[1] % 2 == 0 and d0[0].shape[2] % 2 == 0:
+                return self._s2d_tail_l2(
+                    d0, dec4, fuse, outconv, rc[3], packed_out=packed_io
+                )
+            return self._s2d_tail(d0, dec4, fuse, outconv, rc[3], packed_out=packed_io)
 
         d3 = _concat_packed(lrelu(dec0(x4)), x3)
         d2 = _concat_packed(lrelu(dec1(d3)), x2)
@@ -503,7 +580,77 @@ class UNet3d18(nn.Module):
                           + gv["bias"].astype(dt))
         return y * jnp.tile(gate, (1, 2))[:, None, None, :]
 
-    def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int):
+    def _s2d_tail_l2(
+        self, d0, dec4, fuse, outconv, cout: int, packed_out: bool = False
+    ):
+        """dec4 + fuse + reflect-7x7 head composed one packing level deeper
+        than _s2d_tail: every op runs on the (H/4, W/4) block grid at 16x
+        channel width — dec4's transposed conv as a VALID 2x2 block conv
+        128->512, the fuse as a 512->256 block-diagonal matmul, and the
+        head as a VALID 3x3 block conv 256->48 (vs the lane-starved
+        12-channel head).  Requires the feature grid (H/2, W/2) even, i.e.
+        full-res H, W divisible by 4 (the engine pads to /8)."""
+        from ..ops.s2d import (
+            conv2x2_valid,
+            conv3x3_weight_to_s2d,
+            depth_to_space,
+            shift_packed,
+            space_to_depth,
+            transpose_conv_weight_to_s2d,
+        )
+
+        lrelu = lambda v: nn.leaky_relu(v, 0.2)
+        parts = d0 if isinstance(d0, tuple) else (d0,)
+        dt = parts[0].dtype
+        B = parts[0].shape[0]
+        dv = dec4.variables["params"]
+
+        k = dv["upconv"]["kernel"].astype(dt)  # (3, 4, 4, Co, Ci)
+        flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
+        wt = transpose_conv_weight_to_s2d(_pack(flipped))  # (3, 3, 2Ci, 8Co)
+        if len(parts) == 2:
+            ws = self._split_rows(
+                wt, parts[0].shape[-1] // 2, parts[1].shape[-1] // 2
+            )
+        else:
+            ws = (wt,)
+        # wt acts as a SAME 3x3 (pad-1 VALID) conv on the feature grid;
+        # compose with the 2x2 input packing: VALID 2x2 over the shifted
+        # packing.  Output channels nested (a2 b2)(a1 b1)(t)(co).
+        y = sum(
+            conv2x2_valid(
+                shift_packed(space_to_depth(t)), conv3x3_weight_to_s2d(wk)
+            )
+            for t, wk in zip(parts, ws)
+        ).astype(dt)
+        y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 32)
+
+        # SEGating, flat (pool over all 32 phase-t groups == over T, H, W)
+        pooled = jnp.mean(y, axis=(1, 2)).reshape(B, 32, cout).mean(axis=1)
+        gk = dv["fg"]["Conv3D_0"]["kernel"][0, 0, 0].astype(dt)
+        gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
+        gate = nn.sigmoid(pooled @ gk + gb)
+        dout = lrelu(y * jnp.tile(gate, (1, 32))[:, None, None, :])
+
+        # 1x1 fuse: (t)(co) 2C->C per phase group -> block-diagonal matmul
+        fk = fuse.variables["params"]["kernel"][0, 0].astype(dt)  # (2C, C)
+        wblk = jnp.kron(jnp.eye(16, dtype=dt), fk)  # (16*2C, 16*C)
+        fused = lrelu(dout @ wblk)  # (B, hb, wb, 16*cout)
+
+        ov = outconv.variables["params"]
+        w4 = _head_weight_l2(ov["kernel"].astype(dt))  # (3, 3, 16C, 48)
+        sp = _reflect_pad_blocks4(fused, cout)
+        o = lax.conv_general_dilated(
+            sp, w4, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        o = o + jnp.tile(ov["bias"].astype(dt), 16)
+        o = depth_to_space(o)  # (B, H/2, W/2, 12): standard 2x2 RGB packing
+        if packed_out:
+            return o
+        return depth_to_space(o)
+
+    def _s2d_tail(self, d0, dec4, fuse, outconv, cout: int, packed_out: bool = False):
         """dec4 + fuse + 7x7 head without leaving half resolution.  d0 may
         be a virtual packed-concat pair."""
         from ..ops.s2d import (
@@ -558,12 +705,25 @@ class UNet3d18(nn.Module):
         )  # (8*cout, 4*cout)
         fused = lrelu(dout @ wblk)
 
-        # reflect-pad 7x7 head -> 4x4 block conv on the reflect-shifted packing
+        # reflect-pad 7x7 head -> 4x4 block conv on the reflect-shifted
+        # packing, with 4 output columns grouped into channels (the bare
+        # 12-channel output starves the MXU's N dimension; wpack4 makes it
+        # 48 at a 2x FLOP tax — measured ~3x faster)
         ov = outconv.variables["params"]
         w4 = conv_same_weight_to_s2d(ov["kernel"].astype(dt))  # (4, 4, 4C, 12)
+        from ..ops.s2d import wpack4_weight
+
+        sp = shift_packed_reflect(fused)  # (B, h+3, w+3, 4C)
+        Bn, hp3, wp3, C4 = sp.shape
+        wpad = -(-wp3 // 4) * 4
+        sp = jnp.pad(sp, ((0, 0), (0, 0), (0, wpad - wp3), (0, 0)))
+        sp = sp.reshape(Bn, hp3, wpad // 4, 4 * C4)  # free reshape
         o = lax.conv_general_dilated(
-            shift_packed_reflect(fused), w4, (1, 1), [(0, 0), (0, 0)],
+            sp, wpack4_weight(w4), (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        )  # (B, h, w/4, 48) b-major
+        o = o.reshape(Bn, hp3 - 3, (wpad // 4 - 1) * 4, 12)[:, :, : wp3 - 3]
         o = o + jnp.tile(ov["bias"].astype(dt), 4)
+        if packed_out:
+            return o  # standard 2x2 packing of the RGB residual
         return depth_to_space(o)

@@ -135,7 +135,7 @@ def _forward(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int)
 def _kernel_shared(
     evz_hbm, evr_hbm, ffz_hbm, wke_ref, wkf_ref, bias_ref, o_ref,
     evzbuf, evrbuf, ffbuf, imcol, ffdot, acc, sem_z, sem_r, sem_f,
-    *, K, TH, W, C, N,
+    *, K, TH, W, C, N, PACKED=False,
 ):
     """Grid (B, H/TH, N), n fastest.  The frame-feature half of the bank
     conv is identical for all N timestamps of one blurry frame — compute
@@ -204,15 +204,28 @@ def _kernel_shared(
                 acc[...] = ev_tap * kern
             else:
                 acc[...] += ev_tap * kern
-    o_ref[0] = acc[...].astype(o_ref.dtype)
+    if PACKED:
+        # rows2-standard packing: band rows become channel halves — the
+        # consumer's row-packed convs start from this layout for free
+        o_ref[0, 0, :, :C] = acc[0].astype(o_ref.dtype)
+        o_ref[0, 0, :, C:] = acc[1].astype(o_ref.dtype)
+    else:
+        o_ref[0] = acc[...].astype(o_ref.dtype)
 
 
-def _forward_shared(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int):
+def _forward_shared(
+    ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int,
+    packed_rows2: bool = False,
+):
     """ev: (B*N, H, W, C) per-timestamp event features; ff: (B, H, W, C)
     frame features shared by each group of N consecutive batch rows (the
     engine's b-major timestamp folding).  Same math as
     ``modification_fac_fused(ev, repeat(ff, N), ...)`` up to the ff-half
-    of the bank accumulating via a bf16 band scratch."""
+    of the bank accumulating via a bf16 band scratch.
+
+    packed_rows2 (H even): return the rows2-STANDARD packing
+    (B*N, H/2, W, 2C) — the band rows are written as channel halves inside
+    the kernel, so the consumer's row-packed convs get their layout free."""
     BN, H, W, C = ev.shape
     B = ff.shape[0]
     N = BN // B
@@ -234,10 +247,24 @@ def _forward_shared(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, 
     bias = bias.at[: K * K].set(bk.reshape(K * K, C).astype(jnp.float32))
 
     TH = 2 if H % 2 == 0 else 1
+    if packed_rows2 and TH != 2:
+        raise ValueError("packed_rows2 requires even H")
     interpret = jax.default_backend() not in ("tpu", "axon")
+    if packed_rows2:
+        out_shape = jax.ShapeDtypeStruct((BN, H // 2, W, 2 * C), dt)
+        out_spec = pl.BlockSpec(
+            (1, 1, W, 2 * C), lambda b, i, n: (b * N + n, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((BN, H, W, C), dt)
+        out_spec = pl.BlockSpec(
+            (1, TH, W, C), lambda b, i, n: (b * N + n, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     return pl.pallas_call(
-        partial(_kernel_shared, K=K, TH=TH, W=W, C=C, N=N),
-        out_shape=jax.ShapeDtypeStruct((BN, H, W, C), dt),
+        partial(_kernel_shared, K=K, TH=TH, W=W, C=C, N=N, PACKED=packed_rows2),
+        out_shape=out_shape,
         grid=(B, H // TH, N),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -247,10 +274,7 @@ def _forward_shared(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, 
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, TH, W, C), lambda b, i, n: (b * N + n, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((TH + 2, wpc, c128), dt),
             pltpu.VMEM((TH + K - 1, wpe, c128), dt),
@@ -307,6 +331,42 @@ def _bwd_shared(kernel_size, res, g):
 
 
 modification_fac_fused_shared.defvjp(_fwd_shared, _bwd_shared)
+
+
+def _rows2_pack_std(x):
+    B, H, W, C = x.shape
+    return (
+        x.reshape(B, H // 2, 2, W, C)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, H // 2, W, 2 * C)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def modification_fac_fused_shared_packed(ev, ff, wk, bk, kernel_size: int = 5):
+    """Shared-ff kernel emitting the rows2-STANDARD packing
+    (B*N, H/2, W, 2C) directly from the band writes (free vs an XLA
+    relayout).  Backward via the split XLA twin + pack transform."""
+    return _forward_shared(ev, ff, wk, bk, kernel_size, packed_rows2=True)
+
+
+def _fwd_shared_packed(ev, ff, wk, bk, kernel_size):
+    return (
+        _forward_shared(ev, ff, wk, bk, kernel_size, packed_rows2=True),
+        (ev, ff, wk, bk),
+    )
+
+
+def _bwd_shared_packed(kernel_size, res, g):
+    ev, ff, wk, bk = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _rows2_pack_std(_xla_twin_shared(a, b, c, d, kernel_size)),
+        ev, ff, wk, bk,
+    )
+    return vjp(g)
+
+
+modification_fac_fused_shared_packed.defvjp(_fwd_shared_packed, _bwd_shared_packed)
 
 
 def _xla_twin(ev, ff, wk, bk, K):

@@ -163,30 +163,50 @@ def shift_packed_reflect(y: jax.Array) -> jax.Array:
     (blocks -1..h+1): shape (B, h+3, w+3, 4C).
 
     Every border block is a phase-swap of an interior block (pixel row
-    -1 = row 1, -2 = row 2, ...), so the whole construction is two gathers
-    with constant index vectors.
+    -1 = row 1, -2 = row 2, ...).  Built from concatenations of contiguous
+    slices on the flat channel groups (constant-index gathers lower to slow
+    TPU gather ops; slice+concat copies fuse).
     """
     B, h, w, C4 = y.shape
     C = C4 // 4
-    x = y.reshape(B, h, w, 2, 2, C)
+    ph = lambda a, b: y[..., (a * 2 + b) * C : (a * 2 + b + 1) * C]
 
-    def row_indices(n):
-        # shifted block m in -1..n+1: phase-0 row comes from source ph1 at
-        # block idx0[m], phase-1 row from source ph0 at idx1[m]
-        idx0 = np.concatenate([[1, 0], np.arange(0, n - 1), [n - 1, n - 2]])
-        idx1 = np.concatenate([[1, 0], np.arange(1, n), [n - 1, n - 2]])
-        return idx0, idx1
+    # shifted block m in -1..h+1: its phase-0 row is source phase-1 row of
+    # block sel0[m] = [1, 0, 0..h-2, h-1, h-2]; its phase-1 row is source
+    # phase-0 row of block sel1[m] = [1, 0, 1..h-1, h-1, h-2]
+    def rowsel0(t, n):
+        return jnp.concatenate(
+            [t[:, 1:2], t[:, 0:1], t[:, 0 : n - 1], t[:, n - 1 : n], t[:, n - 2 : n - 1]],
+            axis=1,
+        )
 
-    i0, i1 = row_indices(h)
-    a0 = x[:, i0][:, :, :, 1]  # (B, h+3, w, 2, C) — new a=0 group
-    a1 = x[:, i1][:, :, :, 0]
-    xr = jnp.stack([a0, a1], axis=3)  # (B, h+3, w, 2, 2, C)
+    def rowsel1(t, n):
+        return jnp.concatenate(
+            [t[:, 1:2], t[:, 0:1], t[:, 1:n], t[:, n - 1 : n], t[:, n - 2 : n - 1]],
+            axis=1,
+        )
 
-    j0, j1 = row_indices(w)
-    b0 = xr[:, :, j0][..., 1, :]
-    b1 = xr[:, :, j1][..., 0, :]
-    xc = jnp.stack([b0, b1], axis=4)  # (B, h+3, w+3, 2, 2, C)
-    return xc.reshape(B, h + 3, w + 3, 4 * C)
+    def colsel0(t, n):
+        return jnp.concatenate(
+            [t[:, :, 1:2], t[:, :, 0:1], t[:, :, 0 : n - 1], t[:, :, n - 1 : n],
+             t[:, :, n - 2 : n - 1]],
+            axis=2,
+        )
+
+    def colsel1(t, n):
+        return jnp.concatenate(
+            [t[:, :, 1:2], t[:, :, 0:1], t[:, :, 1:n], t[:, :, n - 1 : n],
+             t[:, :, n - 2 : n - 1]],
+            axis=2,
+        )
+
+    # rows: new a=0 group <- source a=1 rows; new a=1 <- source a=0
+    q00, q01 = rowsel0(ph(1, 0), h), rowsel0(ph(1, 1), h)
+    q10, q11 = rowsel1(ph(0, 0), h), rowsel1(ph(0, 1), h)
+    # cols: new b=0 <- b=1 cols; new b=1 <- b=0
+    r00, r01 = colsel0(q01, w), colsel1(q00, w)
+    r10, r11 = colsel0(q11, w), colsel1(q10, w)
+    return jnp.concatenate([r00, r01, r10, r11], axis=-1)
 
 
 # ---------------------------------------------------------------------- #
@@ -255,6 +275,32 @@ def conv2x2_valid(x: jax.Array, w: jax.Array) -> jax.Array:
     )
 
 
+def wpack4_weight(w: jax.Array) -> jax.Array:
+    """VALID conv weight (kh, kw, Ci, Co), kw <= 4 -> a weight (kh, 2,
+    4Ci, 4Co) over the input with columns grouped by 4 into channels
+    (x.reshape(B, R, Wc/4, 4Ci) — a FREE reshape in NHWC), producing 4
+    output columns per position (b-major output channels, so the output
+    un-groups with another free reshape).
+
+    Output col 4J+b reads input cols 4J+b+dx, dx in [0, kw) -> input
+    blocks J..J+1: W[dJ, bi -> bo] = w[dx] iff dx = 4 dJ + bi - bo.
+    Purpose: tiny-Co convs (e.g. a 12-channel RGB-packed head) are MXU
+    lane-starved; 4Co quadruples the N dimension at a (2*4Ci)/(kw*Ci)
+    FLOP tax (2x for kw=4)."""
+    kh, kw, Ci, Co = w.shape
+    S = np.zeros((2, 4, 4, kw), np.float32)
+    for dJ in range(2):
+        for bi in range(4):
+            for bo in range(4):
+                dx = 4 * dJ + bi - bo
+                if 0 <= dx < kw:
+                    S[dJ, bi, bo, dx] = 1.0
+    Sj = jnp.asarray(S, w.dtype)
+    # [kh, dJ, bi, Ci, bo, Co]
+    w2 = jnp.einsum("Jbcx,hxio->hJbico", Sj, w)
+    return w2.reshape(kh, 2, 4 * Ci, 4 * Co)
+
+
 def pixelshuffle_perm(C: int) -> np.ndarray:
     """Output-channel permutation taking a conv that feeds torch
     PixelShuffle(2) (channel index c*4 + a*2 + b, ops.pixel_shuffle) to the
@@ -289,6 +335,7 @@ def recon_s2d(
     out_kernel: jax.Array,
     out_bias: jax.Array,
     slope: float = 0.01,
+    return_packed: bool = False,
 ) -> jax.Array:
     """The EVFIAutoEx reconstruction head computed without ever
     materializing a full-resolution intermediate (evfi.py:175-177):
@@ -331,4 +378,6 @@ def recon_s2d(
     out_k2 = conv3x3_weight_to_s2d(out_kernel).astype(x.dtype)
     o = conv2x2_valid(m, out_k2) + jnp.tile(out_bias, 4)
     o = jax.nn.sigmoid(o)
+    if return_packed:
+        return o  # standard 2x2 packing of the RGB output
     return depth_to_space(o)

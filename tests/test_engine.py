@@ -53,6 +53,28 @@ def test_hoisted_tail_matches_per_t_forward(rng):
     np.testing.assert_allclose(np.asarray(finals), ref_final, rtol=1e-4, atol=2e-5)
 
 
+def test_hoisted_tail_rc_subchunk_matches(rng):
+    """rc_tail_subchunk splits the RC tail batch; results are unchanged."""
+    model = default_model().clone(
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True,
+        rc_tail_subchunk=2,
+    )
+    frame, event, t, ex = make_inputs(rng, B=1, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(
+        model, params, precision="f32", multi_chunk=4, fast_math=True
+    )
+    N = 4
+    ts = jnp.asarray(rng.uniform(0, 1, (1, N)).astype(np.float32))
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    _, finals = engine.interpolate(frame, event, ts, outputs="final")
+    np.testing.assert_allclose(
+        np.asarray(finals),
+        np.stack([np.asarray(f) for _, f in per_t]),
+        rtol=1e-4, atol=2e-5,
+    )
+
+
 def test_hoisted_tail_matches_standard_paths(rng):
     """Hoisted tail on the STANDARD (non-fast) model paths: exercises the
     XLA hoist/tail of ResidualControl and the bank-split Modification."""
@@ -81,6 +103,19 @@ def test_hoisted_tail_matches_standard_paths(rng):
         np.stack([np.asarray(f) for _, f in per_t]),
         rtol=1e-4, atol=2e-5,
     )
+
+
+def test_outputs_final_matches_both(rng):
+    """outputs='final' returns (None, finals) identical to the full call."""
+    model = default_model()
+    frame, event, t, ex = make_inputs(rng, B=1, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(model, params, multi_chunk=3)
+    ts = jnp.asarray(rng.uniform(0, 1, (1, 4)).astype(np.float32))
+    _, f_both = engine.interpolate(frame, event, ts)
+    s_only, f_only = engine.interpolate(frame, event, ts, outputs="final")
+    assert s_only is None
+    np.testing.assert_allclose(np.asarray(f_only), np.asarray(f_both), atol=1e-6)
 
 
 def test_engine_single_forward_matches_model(rng):

@@ -102,6 +102,54 @@ def test_modification_fac_fused_shared_matches_twin(rng):
     assert ge.shape == ev.shape and np.all(np.isfinite(np.asarray(ge)))
 
 
+def test_modification_fac_fused_shared_packed(rng):
+    """The rows2-packed output variant == pack(unpacked variant)."""
+    import jax.numpy as jnp
+
+    from ebfi_tpu.ops.pallas.mod_fac import (
+        modification_fac_fused_shared,
+        modification_fac_fused_shared_packed,
+        _rows2_pack_std,
+    )
+
+    B, N, H, W, C, K = 1, 2, 12, 20, 8, 5
+    ev = jnp.asarray(rng.standard_normal((B * N, H, W, C)).astype(np.float32))
+    ff = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    wk = jnp.asarray(0.1 * rng.standard_normal((3, 3, 2 * C, K * K * C)).astype(np.float32))
+    bk = jnp.asarray(0.1 * rng.standard_normal((K * K * C,)).astype(np.float32))
+
+    flat = modification_fac_fused_shared(ev, ff, wk, bk, K)
+    packed = modification_fac_fused_shared_packed(ev, ff, wk, bk, K)
+    assert packed.shape == (B * N, H // 2, W, 2 * C)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(_rows2_pack_std(flat)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_modification_tail_fused_rows2_matches_plain(rng, monkeypatch):
+    """Modification mode='tail' through the packed-kernel rows2 path (forced
+    on CPU via interpret mode) == the plain full call."""
+    import jax
+    import jax.numpy as jnp
+
+    from ebfi_tpu.models.modification import Modification
+
+    monkeypatch.setenv("EBFI_FORCE_FUSED_MOD", "1")
+    N, H, W, C = 3, 12, 16, 8
+    ffeat = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+    efeat = jnp.asarray(rng.standard_normal((N, H, W, C)).astype(np.float32))
+    m = Modification(frame_basech=C, fused=True)
+    m_plain = Modification(frame_basech=C)
+    params = m_plain.init(jax.random.key(0), ffeat, efeat[:1])
+
+    got = m.apply(params, ffeat, efeat, mode="tail", hoisted={})
+    want = np.stack([
+        np.asarray(m_plain.apply(params, ffeat, efeat[i : i + 1])[0])
+        for i in range(N)
+    ])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+
+
 def test_modification_module_fused_flag(rng):
     """Modification(fused=True) falls back to XLA off-TPU and matches."""
     import jax

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--hoist", action="store_true",
                     help="bisect the hoisted (from_timestamp_shared) tail")
+    ap.add_argument("--rcsub", type=int, default=0,
+                    help="rc_tail_subchunk for the hoisted tail")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +68,7 @@ def main():
         blurry_fashion="RGBLap", bl_in=4, step=args.steps, dual_path=True,
         residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
         fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True,
+        rc_tail_subchunk=args.rcsub,
     )
     rng = np.random.default_rng(0)
     B, H, W, TB = 1, 720, 1280, 16
@@ -97,7 +100,16 @@ def main():
             def run(tr, h, t_):
                 def body(m, tr_, h_, t__):
                     frame_feat, event_feat, ex_, frame_ = tr_
-                    ev = m.residual_control(None, None, t__, mode="tail", hoisted=h_["rc"])
+                    S = args.rcsub
+                    if S and t__.shape[0] > S and t__.shape[0] % S == 0:
+                        ev = jnp.concatenate([
+                            m.residual_control(
+                                None, None, t__[i * S:(i + 1) * S],
+                                mode="tail", hoisted=h_["rc"])
+                            for i in range(t__.shape[0] // S)
+                        ], axis=0)
+                    else:
+                        ev = m.residual_control(None, None, t__, mode="tail", hoisted=h_["rc"])
                     if which == "rc":
                         return ev
                     fr = m.modification(frame_feat, ev, mode="tail", hoisted=h_["mod"])
@@ -121,11 +133,17 @@ def main():
                     if which == "final_only":
                         return final
                     return sharp, final
+
+                if which == "fts":
+                    # the production path exactly (packed pipeline etc.)
+                    return model.apply(
+                        cp, tr, h, t_, method=EVFIAutoEx.from_timestamp_shared
+                    )[1]
                 return model.apply(cp, tr, h, t_, method=body)
             return jax.jit(run)
 
         results = {}
-        for which in ("rc", "mod", "recon", "final_only", "full"):
+        for which in ("rc", "mod", "recon", "final_only", "full", "fts"):
             fn = prefix(which)
             comp = fn.lower(trunk, hoisted, tcol).compile()
             fl = float(comp.cost_analysis().get("flops", float("nan")))
