@@ -21,7 +21,14 @@ from .layers import ConvLayer
 class Modification(nn.Module):
     """fused: execution variant — predict and apply the kernel bank in one
     Pallas kernel (ops/pallas/mod_fac.py) so the K^2*C bank never reaches
-    HBM.  Same math up to f32-vs-bf16 bank precision; params unchanged."""
+    HBM.  Same math up to f32-vs-bf16 bank precision; params unchanged.
+
+    Training with fused=True uses a recompute VJP: the backward
+    materializes the bank in HBM (a fused backward does not fit the 16 MB
+    VMEM at C=64/K=5 — see IMPLEMENTATION_NOTES.md "mod_fac backward").
+    Measured envelope on v5e-16GB: full 720p fine-tuning at B=1 per chip
+    (465 ms/step) and B=8 @256x256 (115 ms/step) both fit
+    (tools/measure_train_res.py)."""
 
     frame_basech: int = 64
     kernel_size: int = 5
