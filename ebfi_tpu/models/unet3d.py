@@ -126,6 +126,50 @@ def _reflect_pad_blocks4(x: jax.Array, C: int) -> jax.Array:
     )
 
 
+def _stem_weight_l2(kernel: jax.Array, half: int, dtype) -> jax.Array:
+    """Detail-stem weight (3, 7, 7, 3, c0), one image half, composed onto
+    the NESTED 4x4 packing of the images producing the 2x2 packing of the
+    (H/2, W/2) feature grid: (3, 3, 48, 8c0), VALID over a one-block zero
+    pad.  Out 360-grid row r = 2I + ao reads full row 2r + dy - 3 =
+    4(I + dB - 1) + ai -> dy = 4(dB - 1) + ai - 2 ao + 3.  half: 0 = frame
+    (t0) input rows, 1 = sharp (t1)."""
+    wpk = _pack(kernel.astype(dtype))  # (7, 7, 6, 2c0)
+    wh = wpk[:, :, 3 * half : 3 * half + 3, :]
+    k = 7
+    S = np.zeros((3, 4, 2, k), np.float32)
+    for dB in range(3):
+        for ai in range(4):
+            for ao in range(2):
+                dy = 4 * (dB - 1) + ai - 2 * ao + 3
+                if 0 <= dy < k:
+                    S[dB, ai, ao, dy] = 1.0
+    Sj = jnp.asarray(S, dtype)
+    # [i, j, a, b, c, u, v, o]; a, b canonical 4-phases; u, v out 2-phases
+    W = jnp.einsum("iauy,jbvx,yxco->ijabcuvo", Sj, Sj, wh)
+    C2o = wh.shape[-1]
+    W = W.reshape(3, 3, 2, 2, 2, 2, 3, 2, 2, C2o)
+    # -> nested input (a2 b2 a1 b1 c), output (u v)(o)
+    W = W.transpose(0, 1, 2, 4, 3, 5, 6, 7, 8, 9)
+    return W.reshape(3, 3, 48, 4 * C2o)
+
+
+def _conv3s2_weight_packed(wpk: jax.Array) -> jax.Array:
+    """Stride-2 SAME 3x3 conv weight (3, 3, I, O) composed onto a STANDARD
+    2x2 packing of its input: VALID 2x2 block conv (2, 2, 4I, O) over a
+    one-block top/left pad.  Out row i reads rows 2i + dy - 1 =
+    2(i - 1 + dB) + ai -> dy = 2 dB + ai - 1."""
+    S = np.zeros((2, 2, 3), np.float32)
+    for dB in range(2):
+        for ai in range(2):
+            dy = 2 * dB + ai - 1
+            if 0 <= dy < 3:
+                S[dB, ai, dy] = 1.0
+    Sj = jnp.asarray(S, wpk.dtype)
+    I, O = wpk.shape[2], wpk.shape[3]
+    W = jnp.einsum("Day,Ebx,yxco->DEabco", Sj, Sj, wpk)
+    return W.reshape(2, 2, 4 * I, O)
+
+
 def _stem_weight_s2d(kernel: jax.Array, dtype) -> jax.Array:
     """Detail-stem (3, 7, 7, 3, c0) temporal-packed then s2d-transformed:
     (4, 4, 24, 2c0) consuming the standard 2x2 packing of the images."""
@@ -282,6 +326,17 @@ class _Encoder3D(nn.Module):
             c0, (3, 7, 7), (2, 2), (3, 3), use_bias=False,
             kernel_init=kaiming_out_init(), name="stem",
         )
+        if (
+            self.fast
+            and not self.is_initializing()
+            and stem_pre is not None
+            and stem_pre.shape[-1] == 8 * c0
+        ):
+            # production packed pipeline: stem_pre is the l2-composed frame
+            # half; stem + layer1 + layer2_0 run on the (H/4, W/4) packed
+            # grid and the x0/x1 skips are returned PACKED (the decoder's
+            # packed path consumes them without relayouts)
+            return self._packed_l2_path(stem_mod, stem_pre, img1_pk)
         fast_stem = (
             self.fast
             and not self.is_initializing()
@@ -326,25 +381,102 @@ class _Encoder3D(nn.Module):
         x4 = _BasicBlock3D(c3, name="layer4_1")(x4)
         return x0, x1, x2, x3, x4
 
+    def _packed_l2_path(self, stem_mod, stem_pre, img1_pk):
+        """stem (sharp half) + layer1 + layer2_0 on the packed grid; the
+        deeper layers proceed normally from layer2_0's unpacked output.
+        Returns (x0_pk, x1_pk, x2, x3, x4) with x0/x1 STANDARD-2x2-packed."""
+        from jax import lax
+
+        from ..ops.s2d import shift_packed, shifted_to_standard, space_to_depth
+
+        c0, c1, c2, c3 = self.channels
+        dt = img1_pk.dtype
+        wsh = _stem_weight_l2(stem_mod.variables["params"]["kernel"], 1, dt)
+        sp = jnp.pad(
+            space_to_depth(img1_pk), ((0, 0), (1, 1), (1, 1), (0, 0))
+        )
+        x0_pk = nn.relu(stem_pre + lax.conv_general_dilated(
+            sp, wsh, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ))  # (N, hb, wb, 8c0) standard packing of the (H/2, W/2) grid
+        hb, wb = x0_pk.shape[1], x0_pk.shape[2]
+
+        b10 = _BasicBlock3D(c0, name="layer1_0")
+        b11 = _BasicBlock3D(c0, name="layer1_1")
+        xs = self._layer1_blocks_shifted(
+            shift_packed(x0_pk), (b10, b11), c0, 2 * hb, 2 * wb
+        )
+        x1_pk = shifted_to_standard(xs)
+
+        b20 = _BasicBlock3D(c1, (2, 2), downsample=True, name="layer2_0")
+        x2 = self._layer2_0_packed(x1_pk, b20, c1)
+        x2 = _BasicBlock3D(c1, name="layer2_1")(x2)
+        x3 = _BasicBlock3D(c2, (2, 2), downsample=True, name="layer3_0")(x2)
+        x3 = _BasicBlock3D(c2, name="layer3_1")(x3)
+        x4 = _BasicBlock3D(c3, (1, 1), downsample=True, name="layer4_0")(x3)
+        x4 = _BasicBlock3D(c3, name="layer4_1")(x4)
+        return x0_pk, x1_pk, x2, x3, x4
+
+    def _layer2_0_packed(self, x1_pk, block, c1: int):
+        """layer2_0 (stride-2 BasicBlock) consuming the packed x1: conv1
+        composes to a VALID 2x2 block conv (one output pixel per block),
+        the 1x1 stride-2 downsample is a phase-(0,0) channel slice, and
+        conv2/SE run on the unpacked half-res output."""
+        from jax import lax
+
+        dt = x1_pk.dtype
+        B = x1_pk.shape[0]
+        bv = block.variables["params"]
+        w1 = _conv3s2_weight_packed(_pack(bv["conv1"]["kernel"].astype(dt)))
+        xp = jnp.pad(x1_pk, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        out = lax.conv_general_dilated(
+            xp, w1, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        out = nn.relu(out)
+        out = lax.conv_general_dilated(
+            out, _pack(bv["conv2"]["kernel"].astype(dt)), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # SEGating flat
+        pooled = jnp.mean(out, axis=(1, 2)).reshape(B, 2, c1).mean(axis=1)
+        gv = bv["fg"]["Conv3D_0"]
+        gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
+                          + gv["bias"].astype(dt))
+        out = out * jnp.tile(gate, (1, 2))[:, None, None, :]
+        # downsample (1x1 stride 2, no bias): rows/cols (2i, 2j) = the
+        # phase-(0,0) channel group of the packing
+        wd = _pack_weight_t1(bv["downsample"]["kernel"].astype(dt))  # (1,1,2c0,2c1)
+        res = x1_pk[..., : x1_pk.shape[-1] // 4] @ wd[0, 0]
+        return nn.relu(out + res)
+
     def _layer1_s2d(self, x0, blocks, C: int):
         """Both layer-1 BasicBlocks on the 2x2 shifted packing."""
+        from ..ops.s2d import depth_to_space, shift_packed, space_to_depth
+
+        B, H, W, C2 = x0.shape  # C2 = 2C (T-packed)
+        xs = shift_packed(space_to_depth(x0))  # (B, h+1, w+1, 4*2C)
+        xs = self._layer1_blocks_shifted(xs, blocks, C, H, W)
+        full = depth_to_space(xs)  # (B, 2h+2, 2w+2, 2C) incl. border pixels
+        return full[:, 1 : H + 1, 1 : W + 1]
+
+    def _layer1_blocks_shifted(self, xs, blocks, C: int, H: int, W: int):
+        """The layer-1 block loop on an already-shifted packing (each block
+        maps the shifted packing to itself); H, W are the full feature-grid
+        dims (for the SE pooling count)."""
         from ..ops.s2d import (
             conv3x3_weight_to_s2d,
             conv2x2_valid,
-            depth_to_space,
-            shift_packed,
             shifted_phase_mask,
-            space_to_depth,
         )
 
-        dt = x0.dtype
-        B, H, W, C2 = x0.shape  # C2 = 2C (T-packed)
+        dt = xs.dtype
+        B = xs.shape[0]
         h, w = H // 2, W // 2
-        xs = shift_packed(space_to_depth(x0))  # (B, h+1, w+1, 4*2C)
 
         # odd-alignment boundary mask: pixel rows -1/H live in the first
         # block row's a=0 half and last row's a=1 half (same for columns)
-        mask = shifted_phase_mask(h, w, C2, dt)
+        mask = shifted_phase_mask(h, w, 2 * C, dt)
 
         pad1 = lambda t: jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
         for block in blocks:
@@ -368,8 +500,7 @@ class _Encoder3D(nn.Module):
             o = o * jnp.tile(gate, (1, 8))[:, None, None, :]
             xs = nn.relu(o + xs)
 
-        full = depth_to_space(xs)  # (B, 2h+2, 2w+2, 2C) incl. border pixels
-        return full[:, 1 : H + 1, 1 : W + 1]
+        return xs
 
 
 class _ConvSE(nn.Module):
@@ -433,8 +564,24 @@ class UNet3d18(nn.Module):
 
         enc = _Encoder3D(self.channels, fast=self.fast_tail, name="encoder")
         if mode == "stem_hoist":
+            from jax import lax
+
             from ..ops.s2d import conv7s2_s2d, space_to_depth
 
+            if img0.shape[1] % 8 == 0 and img0.shape[2] % 8 == 0:
+                # l2 form: the hoisted frame half lives on the (H/4, W/4)
+                # packed grid, enabling the fully-packed encoder pipeline
+                wf = _stem_weight_l2(
+                    enc.variables["params"]["stem"]["kernel"], 0, img0.dtype
+                )
+                sp = jnp.pad(
+                    space_to_depth(space_to_depth(img0)),
+                    ((0, 0), (1, 1), (1, 1), (0, 0)),
+                )
+                return lax.conv_general_dilated(
+                    sp, wf, (1, 1), [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             w4 = _stem_weight_s2d(
                 enc.variables["params"]["stem"]["kernel"], img0.dtype
             )
@@ -477,6 +624,31 @@ class UNet3d18(nn.Module):
             # rows instead (conv(concat(a, b)) == conv_a(a) + conv_b(b))
             d3 = (lrelu(dec0(x4)), x3)
             d2 = (lrelu(self._upconv_fast(dec1, d3, rc[2])), x2)
+            if x0.shape[-1] == 8 * self.channels[0]:
+                # packed skips from the l2 encoder pipeline: no relayouts
+                from ..ops.s2d import shift_packed
+
+                dec2_pk = lrelu(self._upconv_fast(dec2, d2, rc[3], packed_out=True))
+                d0a_sh = lrelu(self._convse_fast_packed(dec3, (dec2_pk, x1), rc[3]))
+                d0 = (d0a_sh, shift_packed(x0))
+                return self._s2d_tail_l2(
+                    d0, dec4, fuse, outconv, rc[3],
+                    packed_out=packed_io, pre_shifted=True,
+                )
+            if x0.shape[1] % 4 == 0 and x0.shape[2] % 4 == 0:
+                # packed decoder: dec2's block conv keeps its s2d output,
+                # dec3 runs as 256-lane packed convs emitting the shifted
+                # packing the l2 tail consumes directly
+                from ..ops.s2d import shift_packed, space_to_depth
+
+                dec2_pk = lrelu(self._upconv_fast(dec2, d2, rc[3], packed_out=True))
+                d1_pk = (dec2_pk, space_to_depth(x1))
+                d0a_sh = lrelu(self._convse_fast_packed(dec3, d1_pk, rc[3]))
+                d0 = (d0a_sh, shift_packed(space_to_depth(x0)))
+                return self._s2d_tail_l2(
+                    d0, dec4, fuse, outconv, rc[3],
+                    packed_out=packed_io, pre_shifted=True,
+                )
             d1 = (lrelu(self._upconv_fast(dec2, d2, rc[3])), x1)
             d0 = (lrelu(self._convse_fast(dec3, d1, rc[3])), x0)
             if d0[0].shape[1] % 2 == 0 and d0[0].shape[2] % 2 == 0:
@@ -509,10 +681,11 @@ class UNet3d18(nn.Module):
         )
         return wa, wb
 
-    def _upconv_fast(self, mod, x, cout: int):
+    def _upconv_fast(self, mod, x, cout: int, packed_out: bool = False):
         """_UpConvSE via a 3x3 block conv (no lhs_dilation transpose):
         conv to the s2d-packed output, SE-gate in packed space (pooling
-        over phases == pooling over H, W), then depth-to-space.
+        over phases == pooling over H, W), then depth-to-space (skipped
+        when packed_out — the consumer stays in packed space).
 
         x may be a (a, b) pair representing a virtual packed concat; the
         block-conv weight is split by input rows and the part convs sum.
@@ -549,6 +722,8 @@ class UNet3d18(nn.Module):
         gb = dv["fg"]["Conv3D_0"]["bias"].astype(dt)
         gate = nn.sigmoid(pooled @ gk + gb)
         y = y * jnp.tile(gate, (1, 8))[:, None, None, :]
+        if packed_out:
+            return y  # standard 2x2 packing, channels (a b)(t)(co)
         # packed channel layout is (phase)(t)(c); depth_to_space expects
         # phase-major which this is — unpack to (2h, 2w, 2*cout)
         return depth_to_space(y)
@@ -580,8 +755,47 @@ class UNet3d18(nn.Module):
                           + gv["bias"].astype(dt))
         return y * jnp.tile(gate, (1, 2))[:, None, None, :]
 
+    def _convse_fast_packed(self, mod, parts_pk, cout: int):
+        """_ConvSE on STANDARD-2x2-packed virtual-concat parts
+        (B, hb, wb, 4*2Ci each): the SAME 3x3 conv becomes a VALID 2x2
+        block conv over a one-block pad, producing the SHIFTED packing
+        (boundary phases masked to the conv's zero-pad rows) — the same
+        parity trick as recon_s2d's mid conv.  256-lane convs replace the
+        64-lane full-res ones (measured 13.9 -> ~100+ TF/s shapes).
+
+        Returns the shifted packing (B, hb+1, wb+1, 4*2Co); downstream
+        consumers (the l2 tail) take it pre-shifted."""
+        from ..ops.s2d import conv3x3_weight_to_s2d, shifted_phase_mask
+
+        dt = parts_pk[0].dtype
+        B, hb, wb, _ = parts_pk[0].shape
+        dv = mod.variables["params"]
+        wpk = _pack(dv["conv"]["kernel"].astype(dt))  # (3, 3, 2Ci, 2Co)
+        if len(parts_pk) == 2:
+            ws = self._split_rows(
+                wpk, parts_pk[0].shape[-1] // 8, parts_pk[1].shape[-1] // 8
+            )
+        else:
+            ws = (wpk,)
+        conv = lambda t, wk: lax.conv_general_dilated(
+            t, conv3x3_weight_to_s2d(wk), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = sum(conv(t, wk) for t, wk in zip(parts_pk, ws)).astype(dt)
+        y = y + jnp.tile(dv["conv"]["bias"].astype(dt), 8)
+        y = y * shifted_phase_mask(hb, wb, 2 * cout, dt)
+        # SEGating flat: 4 phases x (t)(co) -> 8 groups of co; the masked
+        # boundary zeros don't contribute, divide by the true pixel count
+        pooled = y.sum(axis=(1, 2)).reshape(B, 8, cout).sum(axis=1)
+        pooled = pooled / jnp.asarray(2 * (2 * hb) * (2 * wb), dt)
+        gv = dv["fg"]["Conv3D_0"]
+        gate = nn.sigmoid(pooled @ gv["kernel"][0, 0, 0].astype(dt)
+                          + gv["bias"].astype(dt))
+        return y * jnp.tile(gate, (1, 8))[:, None, None, :]
+
     def _s2d_tail_l2(
-        self, d0, dec4, fuse, outconv, cout: int, packed_out: bool = False
+        self, d0, dec4, fuse, outconv, cout: int, packed_out: bool = False,
+        pre_shifted: bool = False,
     ):
         """dec4 + fuse + reflect-7x7 head composed one packing level deeper
         than _s2d_tail: every op runs on the (H/4, W/4) block grid at 16x
@@ -608,20 +822,25 @@ class UNet3d18(nn.Module):
         k = dv["upconv"]["kernel"].astype(dt)  # (3, 4, 4, Co, Ci)
         flipped = jnp.flip(k, axis=(0, 1, 2)).transpose(0, 1, 2, 4, 3)
         wt = transpose_conv_weight_to_s2d(_pack(flipped))  # (3, 3, 2Ci, 8Co)
-        if len(parts) == 2:
-            ws = self._split_rows(
-                wt, parts[0].shape[-1] // 2, parts[1].shape[-1] // 2
-            )
-        else:
-            ws = (wt,)
         # wt acts as a SAME 3x3 (pad-1 VALID) conv on the feature grid;
         # compose with the 2x2 input packing: VALID 2x2 over the shifted
         # packing.  Output channels nested (a2 b2)(a1 b1)(t)(co).
-        y = sum(
-            conv2x2_valid(
-                shift_packed(space_to_depth(t)), conv3x3_weight_to_s2d(wk)
+        # pre_shifted: parts already arrive in the shifted packing (the
+        # packed-decoder pipeline; per-part unpacked width = packed/4).
+        div = 8 if pre_shifted else 2
+        if len(parts) == 2:
+            ws = self._split_rows(
+                wt, parts[0].shape[-1] // div, parts[1].shape[-1] // div
             )
-            for t, wk in zip(parts, ws)
+        else:
+            ws = (wt,)
+        if pre_shifted:
+            shifted = parts
+        else:
+            shifted = tuple(shift_packed(space_to_depth(t)) for t in parts)
+        y = sum(
+            conv2x2_valid(t, conv3x3_weight_to_s2d(wk))
+            for t, wk in zip(shifted, ws)
         ).astype(dt)
         y = y + jnp.tile(dv["upconv"]["bias"].astype(dt), 32)
 

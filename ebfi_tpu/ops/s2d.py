@@ -62,6 +62,20 @@ def shift_packed(y: jax.Array) -> jax.Array:
     return jnp.concatenate([p11, p10, p01, p00], axis=-1)
 
 
+def shifted_to_standard(y: jax.Array) -> jax.Array:
+    """(-1,-1)-shifted 2x2 packing (B, h+1, w+1, 4C) -> standard packing
+    (B, h, w, 4C) of the same pixels, via four slice+concats:
+    std(i,j) phase (0,0) = x[2i, 2j] = sh[i, j] phase (1,1), etc."""
+    B, hp, wp, C4 = y.shape
+    C = C4 // 4
+    ph = lambda a, b: y[..., (a * 2 + b) * C : (a * 2 + b + 1) * C]
+    p00 = ph(1, 1)[:, :-1, :-1]
+    p01 = ph(1, 0)[:, :-1, 1:]
+    p10 = ph(0, 1)[:, 1:, :-1]
+    p11 = ph(0, 0)[:, 1:, 1:]
+    return jnp.concatenate([p00, p01, p10, p11], axis=-1)
+
+
 def _shift_select(k: int) -> np.ndarray:
     """Selection tensor S (bk, 2, 2, k) for an odd-k SAME conv consuming the
     shifted packing: S[di, ai, ao, dy] = 1 iff dy == 2*di + ai - ao.

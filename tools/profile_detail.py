@@ -96,6 +96,44 @@ def main():
     )
     x0, x1, x2, x3, x4 = enc_out
 
+    # encoder internals: stem, layer1 (s2d), layers2-4
+    from ebfi_tpu.models.unet3d import _BasicBlock3D, _stem_weight_s2d
+    from ebfi_tpu.ops.s2d import conv7s2_s2d, space_to_depth
+
+    def stem_only(a, b):
+        w4 = _stem_weight_s2d(P["encoder"]["stem"]["kernel"], a.dtype)
+        perm = np.concatenate(
+            [np.arange(4)[:, None] * 6 + np.arange(3),
+             np.arange(4)[:, None] * 6 + 3 + np.arange(3)]
+        ).reshape(-1)
+        f_pk = space_to_depth(a)
+        s_pk = space_to_depth(b)
+        return nn.relu(conv7s2_s2d(
+            jnp.concatenate([f_pk, s_pk], axis=-1), w4[:, :, perm, :]))
+
+    from ebfi_tpu.models.unet3d import _Encoder3D as _Enc
+
+    def l1_fast(x0_):
+        return _Enc._layer1_s2d(
+            enc, x0_, (_Fake(P["encoder"]["layer1_0"]), _Fake(P["encoder"]["layer1_1"])), 16
+        )
+
+    def block(name, planes, stride=(1, 1), down=False):
+        mod = _BasicBlock3D(planes, stride, downsample=down)
+        return lambda x: mod.apply({"params": P["encoder"][name]}, x)
+
+    def l24(x1_):
+        h = block("layer2_0", 24, (2, 2), True)(x1_)
+        h = block("layer2_1", 24)(h)
+        h = block("layer3_0", 32, (2, 2), True)(h)
+        h = block("layer3_1", 32)(h)
+        h = block("layer4_0", 64, (1, 1), True)(h)
+        return block("layer4_1", 64)(h)
+
+    x0_ = report("  stem (s2d)", stem_only, img0, img1)
+    x1_ = report("  layer1 (s2d)", l1_fast, x0_)
+    report("  layers2-4", l24, x1_)
+
     from ebfi_tpu.models.unet3d import _ConvSE
 
     dec0_mod = _ConvSE(32)
