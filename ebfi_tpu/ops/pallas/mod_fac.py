@@ -231,6 +231,10 @@ def _forward_shared(
     N = BN // B
     p = (K - 1) // 2
     dt = ev.dtype
+    # channel pad to the 128-lane tile: Mosaic rejects sub-128 channel
+    # slices on HBM refs (tried C-minor arrays to halve the band DMA
+    # volume at C=64 — "Slice shape along dimension 3 must be aligned to
+    # tiling (128)")
     c128 = -(-C // 128) * 128
 
     wpc = -(-(W + 2) // 8) * 8
