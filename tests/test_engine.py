@@ -105,6 +105,28 @@ def test_hoisted_tail_matches_standard_paths(rng):
     )
 
 
+def test_hoisted_tail_bf16_smoke(rng):
+    """The production bf16 engine (hoisted + packed pipelines) stays close
+    to the f32 per-T forwards — bf16-rounding-scale tolerance."""
+    model = default_model()
+    frame, event, t, ex = make_inputs(rng, B=1, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(model, params, precision="bf16", multi_chunk=4)
+    assert engine._hoist
+
+    N = 4
+    ts = jnp.asarray(rng.uniform(0, 1, (1, N)).astype(np.float32))
+    fast = engine.model  # the cloned fast-variant model
+    per_t = [fast.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    _, finals = engine.interpolate(frame, event, ts, outputs="final")
+    ref = np.stack([np.asarray(f) for _, f in per_t])
+    got = np.asarray(finals)
+    assert got.shape == ref.shape and np.all(np.isfinite(got))
+    # bf16 has ~3 decimal digits; the detail residual is O(1)
+    np.testing.assert_allclose(got, ref, atol=0.15)
+    assert np.mean(np.abs(got - ref)) < 0.02
+
+
 def test_outputs_final_matches_both(rng):
     """outputs='final' returns (None, finals) identical to the full call."""
     model = default_model()
