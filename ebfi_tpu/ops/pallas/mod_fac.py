@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..kernel_conv2d import kernel_conv2d as _xla_fac
 
+# Shared-kernel tap-group width (bank-conv output columns per MXU dot
+# round).  The original 1152-deep kernel was insensitive to it, but the
+# shared kernel's 576-deep ev-half dots pipeline best at 4 taps (=256
+# cols at C=64): measured 173 vs 121 TF/s at {4 vs 2}; 8 and 25 regress
+# to ~120 (tools/microbench_modfac.py).  Overridable for experiments.
+import os as _os
+
+_TAP_GROUP = int(_os.environ.get("EBFI_MODFAC_TAPG", "4"))
+
 
 def _lrelu(x):
     return jnp.where(x >= 0, x, 0.01 * x)
@@ -188,15 +197,14 @@ def _kernel_shared(
     x2 = imcol[...].reshape(TH * W, 9 * C)
     cpr.wait()
 
-    for tp in range(KK // 2 + 1):
-        t0 = 2 * tp
-        nc = 2 * C if t0 + 1 < KK else C  # last odd tap runs alone
+    G = _TAP_GROUP
+    for g in range(-(-KK // G)):
+        t0 = g * G
+        nc = min(G, KK - t0) * C
         d = jnp.dot(
             x2, wke_ref[:, t0 * C : t0 * C + nc], preferred_element_type=jnp.float32
         ).reshape(TH, W, nc) + ffdot[:, :, t0 * C : t0 * C + nc].astype(jnp.float32)
-        for t in (t0, t0 + 1):
-            if t >= KK:
-                break
+        for t in range(t0, min(t0 + G, KK)):
             kern = _lrelu(d[:, :, (t - t0) * C : (t - t0 + 1) * C] + bias_ref[t, :])
             ky, kx = t // K, t % K
             ev_tap = evrbuf[ky : ky + TH, kx : kx + W, :C].astype(jnp.float32)
