@@ -127,6 +127,30 @@ def test_hoisted_tail_bf16_smoke(rng):
     assert np.mean(np.abs(got - ref)) < 0.02
 
 
+def test_hoisted_tail_non_multiple_of_8(rng):
+    """Hoisted fast engine on a non-/8 input (RealBlur-DAVIS is 260x346):
+    the engine pads to /8, so every packed pipeline must engage cleanly
+    and the crop must restore the original size."""
+    model = default_model().clone(
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True
+    )
+    frame, event, t, ex = make_inputs(rng, B=1, H=30, W=36)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(
+        model, params, precision="f32", multi_chunk=3, fast_math=True
+    )
+    N = 3
+    ts = jnp.asarray(rng.uniform(0, 1, (1, N)).astype(np.float32))
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    _, finals = engine.interpolate(frame, event, ts, outputs="final")
+    assert finals.shape == (N, 1, 30, 36, 3)
+    np.testing.assert_allclose(
+        np.asarray(finals),
+        np.stack([np.asarray(f) for _, f in per_t]),
+        rtol=1e-4, atol=2e-5,
+    )
+
+
 def test_outputs_final_matches_both(rng):
     """outputs='final' returns (None, finals) identical to the full call."""
     model = default_model()
