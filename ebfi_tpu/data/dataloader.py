@@ -97,9 +97,9 @@ class EBFIDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _fetch(self, flat_idx: int) -> Dict[str, np.ndarray]:
+    def _fetch(self, flat_idx: int, seed: int) -> Dict[str, np.ndarray]:
         di, ii = self.index[flat_idx]
-        return self.datasets[di].get(ii)
+        return self.datasets[di].get(ii, seed=seed)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._shard_order()
@@ -107,12 +107,18 @@ class EBFIDataLoader:
         batches = [
             order[b * self.batch_size : (b + 1) * self.batch_size] for b in range(nb)
         ]
+        # Per-item augmentation seeds are drawn HERE, in the main thread and
+        # in item order (the reference's per-item `random.randint(0, 2**32)`,
+        # h5dataset.py:192-194 with num_workers=0) — drawing them inside the
+        # worker threads would make augmentation depend on thread scheduling.
+        seeds = [[random.randint(0, 2**32) for _ in batch] for batch in batches]
         # Not a context manager: abandoning the generator mid-epoch must not
         # block (or crash at interpreter teardown) on a joining pool.
         pool = cf.ThreadPoolExecutor(self.num_threads)
         try:
             futures = [
-                [pool.submit(self._fetch, i) for i in batch] for batch in batches
+                [pool.submit(self._fetch, i, s) for i, s in zip(batch, bseeds)]
+                for batch, bseeds in zip(batches, seeds)
             ]
             for fb in futures:
                 yield collate([f.result() for f in fb])

@@ -150,6 +150,36 @@ def compute_seq_windows(
 # ----------------------------------------------------------------------- #
 # augmentation
 
+def _torch_parity_noise(out, kinds, cfg, seed_noise):
+    """Event-noise augmentation in torch-RNG bit-parity mode
+    (`data_augment.noise.rng: torch`): reproduces the reference's
+    `add_noise` (h5dataset.py:455-462 — `torch.manual_seed(seed+3)` then
+    `randn_like`/`rand_like` on the (L, TB, 2, H, W) event stack) so a run
+    seeded like `infer_ours.py:419` produces bit-identical noisy inputs.
+    Our stacks are channel-flattened NHWC, so the noise is drawn in the
+    reference layout and transposed.  Requires torch (cpu); the default
+    numpy path is statistically identical and torch-free."""
+    import torch
+
+    std = cfg["noise"]["noise_std"]
+    frac = cfg["noise"]["noise_fraction"]
+    out = dict(out)
+    for k, v in out.items():
+        if kinds.get(k) != "event":
+            continue
+        lead, (H, W, C) = v.shape[:-3], v.shape[-3:]
+        ref_shape = (*lead, C // 2, 2, H, W)
+        torch.manual_seed(seed_noise)
+        noise = (std * torch.randn(ref_shape, dtype=torch.float32)).abs().int()
+        if frac < 1.0:
+            mask = torch.rand(ref_shape, dtype=torch.float32) >= frac
+            noise = noise.masked_fill(mask, 0)
+        n = noise.numpy()  # (*lead, TB, 2, H, W)
+        n = np.moveaxis(n, (-4, -3), (-2, -1))  # (*lead, H, W, TB, 2)
+        out[k] = v + n.reshape(v.shape).astype(v.dtype)
+    return out
+
+
 def augment(
     arrays: Dict[str, np.ndarray],
     kinds: Dict[str, str],
@@ -191,6 +221,9 @@ def augment(
                 i, j = (h - th) // 2, (w - tw) // 2
                 out = {k: v[..., i : i + th, j : j + tw, :] for k, v in out.items()}
         elif mechanism == "Noise" and cfg["noise"]["enabled"]:
+            if cfg["noise"].get("rng") == "torch":
+                out = _torch_parity_noise(out, kinds, cfg, seed_noise)
+                continue
             rng = np.random.default_rng(seed_noise)
             for k, v in out.items():
                 if kinds.get(k) == "event":
@@ -200,6 +233,11 @@ def augment(
                         noise = np.where(keep, noise, 0)
                     out[k] = v + noise.astype(v.dtype)
         elif mechanism == "HotPixel" and cfg["hot_pixel"]["enabled"]:
+            if cfg["noise"].get("rng") == "torch":
+                # torch-parity mode reproduces the reference's OBSERVED
+                # behavior, where HotPixel never fires (the `type == [...]`
+                # list-comparison typo, h5dataset.py:438)
+                continue
             # NOTE: unreachable in the reference due to the `type == [...]`
             # list-comparison typo (h5dataset.py:438); implemented correctly
             # here and off by default.

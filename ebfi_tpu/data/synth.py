@@ -142,16 +142,33 @@ def write_clip_h5(
     fps: float = 240.0,
     seed: int = 0,
     real_exposure: Optional[Tuple[float, float]] = None,
+    down_scales: Tuple[int, ...] = (),
 ) -> None:
     """Write a schema-compliant H5 clip.
 
     Images stored as BGR uint8 (the reference reader flips BGR->RGB,
     h5dataset.py:303).  `real_exposure=(duty, jitter)` additionally writes
     `exposure_begin_t`/`exposure_end_t` attrs for the real-data path.
+    `down_scales` (e.g. (2, 4)) adds the multiscale event groups the
+    reference packager produces (`down{s}_events` + per-image
+    `down{s}_event_idx` attrs, event_packagers.py:128-146,204-226) with
+    events simulated on block-mean-downsampled frames — H and W must be
+    divisible by each scale.
     """
     frames = render_frames(num_frames, H, W, seed)
     timestamps = np.arange(num_frames, dtype=np.float64) / fps
     (xs, ys, ts, ps), frame_idx = simulate_events(frames, timestamps, seed=seed)
+    down = {}
+    for s in down_scales:
+        if H % s or W % s:
+            raise ValueError(f"H={H}, W={W} not divisible by down scale {s}")
+        small = (
+            frames.reshape(num_frames, H // s, s, W // s, s, 3)
+            .mean((2, 4))
+            .round()
+            .astype(np.uint8)
+        )
+        down[s] = simulate_events(small, timestamps, seed=seed + s)
 
     with h5py.File(path, "w") as f:
         f.attrs["sensor_resolution"] = np.array([H, W], np.int64)
@@ -162,6 +179,12 @@ def write_clip_h5(
         g.create_dataset("ys", data=ys.astype(np.int16))
         g.create_dataset("ts", data=ts.astype(np.float64))
         g.create_dataset("ps", data=ps.astype(np.int8))
+        for s, ((dxs, dys, dts, dps), _) in down.items():
+            gd = f.create_group(f"down{s}_events")
+            gd.create_dataset("xs", data=dxs.astype(np.int16))
+            gd.create_dataset("ys", data=dys.astype(np.int16))
+            gd.create_dataset("ts", data=dts.astype(np.float64))
+            gd.create_dataset("ps", data=dps.astype(np.int8))
         imgs = f.create_group("ori_images")
         rng = np.random.default_rng(seed + 7)
         for n in range(num_frames):
@@ -170,6 +193,8 @@ def write_clip_h5(
             )
             d.attrs["timestamp"] = timestamps[n]
             d.attrs["ori_event_idx"] = int(frame_idx[n])
+            for s, (_, dfi) in down.items():
+                d.attrs[f"down{s}_event_idx"] = int(dfi[n])
             if real_exposure is not None:
                 duty, jitter = real_exposure
                 period = 1.0 / fps

@@ -91,6 +91,11 @@ def get_flags(argv=None):
     p.add_argument("--noise_std", type=float, default=None)
     p.add_argument("--noise_enabled", default=True, action="store_false")
     p.add_argument("--center_crop_size", type=int, nargs="+", default=None)
+    p.add_argument("--noise_rng", type=str, default="numpy",
+                   choices=["numpy", "torch"],
+                   help="event-noise RNG: 'torch' reproduces the reference's "
+                        "torch.manual_seed noise bit-for-bit (needs torch; "
+                        "parity runs), 'numpy' is the torch-free default")
     p.add_argument("--real_blur", default=False, action="store_true")
     p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
     p.add_argument("--lpips_weights", type=str, default=None,
@@ -128,6 +133,7 @@ def apply_flag_overrides(cfg: dict, flags) -> dict:
         )
     ds["data_augment"]["noise"]["enabled"] = flags.noise_enabled
     ds["data_augment"]["hot_pixel"]["enabled"] = flags.noise_enabled
+    ds["data_augment"]["noise"]["rng"] = flags.noise_rng
     if flags.center_crop_size is not None:
         ds["data_augment"]["center_crop"].update(
             {"enabled": True, "size": list(flags.center_crop_size)}
@@ -250,6 +256,14 @@ def infer_clip(
 
 
 def main(argv=None):
+    # the reference seeds everything to 123 before inference
+    # (infer_ours.py:419-421); augmentation noise draws per-item seeds from
+    # python `random`, so matching runs require the same base seed
+    import random
+
+    random.seed(123)
+    np.random.seed(123)
+
     flags = get_flags(argv)
     from ..utils.profiling import enable_compile_cache
 

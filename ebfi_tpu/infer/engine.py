@@ -192,7 +192,11 @@ class InferenceEngine:
         """All timestamps at once with trunk reuse.
 
         ts: (B, N) normalized timestamps.  Returns (sharp, final) each
-        (N, B, H, W, 3), numerically identical to N calls of `forward`.
+        (N, B, H, W, 3).  For non-fast-math engines the results are
+        numerically identical to N calls of `forward`; with fast_math=True
+        the hoisted tail is reassociation-equivalent, and on TPU the shared
+        Pallas kernel accumulates the ff bank half via a band scratch in
+        the input dtype (bf16 for the production engine).
         mode: 'batched' folds timestamps into the batch (throughput);
         'scan' sweeps them sequentially (memory-lean for large N).
         outputs: 'both' or 'final' — 'final' skips materializing the

@@ -239,7 +239,9 @@ class EVFIAutoEx(nn.Module):
         """(sharp, final) for N timestamps sharing one trunk: trunk tensors
         stay at B=1 (broadcast against the per-timestamp batch N), the
         hoisted partials replace their recomputation.  Same math as N
-        `from_timestamp` calls up to float reassociation."""
+        `from_timestamp` calls up to float reassociation (and, on TPU with
+        fast_mod, the shared Pallas kernel's ff-bank band scratch in the
+        compute dtype — see ops/pallas/mod_fac.py)."""
         frame_feat, event_feat, ex, frame = trunk
         N = t.shape[0]
         S = self.rc_tail_subchunk

@@ -934,7 +934,10 @@ class UNet3d18(nn.Module):
 
         sp = shift_packed_reflect(fused)  # (B, h+3, w+3, 4C)
         Bn, hp3, wp3, C4 = sp.shape
-        wpad = -(-wp3 // 4) * 4
+        # the VALID wpack4 conv yields (wpad//4 - 1) packed columns = that
+        # many *4 output columns, which must cover wp3-3; when wp3 % 4 == 0
+        # a ceil-round wpad == wp3 would under-produce by one column
+        wpad = (wp3 // 4 + 1) * 4
         sp = jnp.pad(sp, ((0, 0), (0, 0), (0, wpad - wp3), (0, 0)))
         sp = sp.reshape(Bn, hp3, wpad // 4, 4 * C4)  # free reshape
         o = lax.conv_general_dilated(

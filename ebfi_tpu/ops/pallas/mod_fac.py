@@ -155,7 +155,10 @@ def _kernel_shared(
     input).  evr_hbm: (B*N, H+K-1, WPE, C128) replication-padded event
     features (FAC input).  ffz_hbm: (B, H+2, WPC, C128) zero-padded frame
     features.  wke/wkf: (9C, K*K*C) the ev/ff input-channel halves of the
-    bank-conv weight.  ffdot: (TH, W, K*K*C) bf16 band scratch.
+    bank-conv weight.  ffdot: (TH, W, K*K*C) band scratch in the INPUT
+    dtype — for the bf16 production engine the ff bank half therefore
+    round-trips through bf16 (reassociation + bf16-rounding-level match
+    vs the split XLA twin); f32 inputs keep an f32 scratch and stay exact.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -229,7 +232,8 @@ def _forward_shared(
     frame features shared by each group of N consecutive batch rows (the
     engine's b-major timestamp folding).  Same math as
     ``modification_fac_fused(ev, repeat(ff, N), ...)`` up to the ff-half
-    of the bank accumulating via a bf16 band scratch.
+    of the bank accumulating via a band scratch in the input dtype (a
+    bf16 round-trip for the production engine; exact for f32 inputs).
 
     packed_rows2 (H even): return the rows2-STANDARD packing
     (B*N, H/2, W, 2C) — the band rows are written as channel halves inside
@@ -292,7 +296,7 @@ def _forward_shared(
             pltpu.VMEM((TH + K - 1, wpe, c128), dt),
             pltpu.VMEM((TH + 2, wpc, c128), dt),
             pltpu.VMEM((TH, W, 9 * C), dt),
-            pltpu.VMEM((TH, W, K * K * C), jnp.bfloat16),
+            pltpu.VMEM((TH, W, K * K * C), dt),
             pltpu.VMEM((TH, W, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

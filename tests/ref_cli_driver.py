@@ -159,6 +159,38 @@ def main():
     import cv2
     import infer_ours
 
+    # --exposure_time is declared type=str (infer_ours.py:211) but the
+    # dataset indexes it like the YAML list the train path uses
+    # (h5dataset.py:133,160-163) — a raw string crashes at the int
+    # comparison, so the flag is unusable as shipped.  Parse "3,5" into the
+    # list form the dataset expects (the minimal working interpretation).
+    _orig_get_flags = infer_ours.get_flags
+
+    def _get_flags():
+        fl = _orig_get_flags()
+        if fl.exposure_time is not None:
+            fl.exposure_time = [
+                int(x) for x in str(fl.exposure_time).strip("[]").split(",")
+            ]
+        return fl
+
+    infer_ours.get_flags = _get_flags
+
+    # Force num_workers=0: with forked workers each worker re-seeds python
+    # `random`, so the per-item augmentation seeds (h5dataset.py:192-194)
+    # depend on torch's worker scheduling; in-process loading makes the
+    # seed sequence the deterministic one init_seeds(123) implies (bit-
+    # reproducible noise for the noise-on parity configuration).
+    for name in ("InferenceHDF5DataLoader", "InferenceHDF5DataLoaderRealData"):
+        orig = getattr(infer_ours, name)
+
+        def _nw0(data_path, config, _orig=orig):
+            config = dict(config)
+            config["num_workers"] = 0
+            return _orig(data_path, config)
+
+        setattr(infer_ours, name, _nw0)
+
     # the reference's pandas MetricTracker writes via `.values[:] = 0` and
     # `self._data.total[key] += ...` (myutils/utils.py:129-138) — both
     # disallowed by modern pandas copy-on-write.  Patch to .loc-based

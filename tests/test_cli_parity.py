@@ -18,6 +18,12 @@ The model checkpoint is synthetic (reference parameter names, loaded
 strict) and the forward exercises the full default path: DetailEnabled,
 UseGTEx=False (exposure estimated by ExposureDecision from the RGBLap
 blurriness map), FAC K=5.
+
+Round 4 widened this into a matrix (CONFIGS): Fixed exposure, Custom
+exposure (per-period duty list), the down4/scale-2 ladder (GT at down2:
+cv2 INTER_CUBIC resize + down2_events groups), --real_blur (real-data
+loader, duty from exposure attrs), and noise-on (torch-RNG event noise
+reproduced bit-for-bit via --noise_rng torch).
 """
 import os
 import subprocess
@@ -41,9 +47,7 @@ REF_ARGS = dict(
     DetailEnabled=True, channels=list(CHANNELS),
 )
 
-DATASET_FLAGS = [
-    "--scale", "1",
-    "--ori_scale", "ori",
+_COMMON = [
     "--time_bins", str(TB),
     "--num_frame_per_period", "8",
     "--num_frame_per_blurry", "5",
@@ -51,9 +55,48 @@ DATASET_FLAGS = [
     "--sliding_window_seq", "2",
     "--num_period_per_load", "1",
     "--sliding_window_load", "1",
-    "--exposure_method", "Fixed",
-    "--noise_enabled",  # store_false: disables event noise on both CLIs
 ]
+_ORI = ["--scale", "1", "--ori_scale", "ori"]
+_NOISE_OFF = ["--noise_enabled"]  # store_false: disables event noise
+
+# The parity matrix (VERDICT r3 #3): every configuration is run through
+# BOTH CLIs and diffed artifact-by-artifact.  `extra_ours` carries our
+# CLI's parity-mode extensions (they do not exist on the reference CLI).
+CONFIGS = {
+    # the round-3 baseline configuration
+    "fixed": dict(
+        flags=_ORI + _COMMON + ["--exposure_method", "Fixed"] + _NOISE_OFF,
+    ),
+    # Custom exposure: per-period duty cycles from the --exposure_time list
+    # (h5dataset.py:160-163; the reference flag needs the driver's list
+    # parse, see ref_cli_driver.py)
+    "custom_exposure": dict(
+        flags=_ORI + _COMMON
+        + ["--exposure_method", "Custom", "--exposure_time", "3,5"]
+        + _NOISE_OFF,
+    ),
+    # the scale ladder: ori_scale=down4 + scale=2 puts GT at down2 — frames
+    # resized with cv2 INTER_CUBIC and events from the down2_events groups
+    # (h5dataset.py:56-66)
+    "down4_scale2": dict(
+        flags=["--scale", "2", "--ori_scale", "down4"] + _COMMON
+        + ["--exposure_method", "Fixed"] + _NOISE_OFF,
+    ),
+    # real-blur path: real-data loader, exposure duty from the
+    # exposure_begin_t/end_t attrs, linspace interpolation targets, no GT
+    # metrics (h5dataset_realdata.py:112,211-223; infer_ours.py:52-57)
+    "real_blur": dict(
+        flags=_ORI + _COMMON + ["--real_blur", "--interp_num", "4"] + _NOISE_OFF,
+        real=True,
+    ),
+    # noise ON (the reference's real default): torch-RNG event noise applied
+    # by both loaders bit-identically (--noise_rng torch on ours; the
+    # reference's HotPixel branch is dead, h5dataset.py:438)
+    "noise_on": dict(
+        flags=_ORI + _COMMON + ["--exposure_method", "Fixed"],
+        extra_ours=["--noise_rng", "torch"],
+    ),
+}
 
 
 @pytest.fixture(scope="module")
@@ -62,9 +105,15 @@ def workdir(tmp_path_factory):
     from ebfi_tpu.data.synth import write_clip_h5
 
     clip = str(d / "parclip.h5")
-    write_clip_h5(clip, num_frames=32, H=32, W=32, seed=9)
+    write_clip_h5(clip, num_frames=32, H=32, W=32, seed=9, down_scales=(2,))
     datalist = d / "list.txt"
     datalist.write_text(clip + "\n")
+
+    real_clip = str(d / "parclip_real.h5")
+    write_clip_h5(real_clip, num_frames=16, H=32, W=32, seed=11,
+                  real_exposure=(0.5, 0.1))
+    real_datalist = d / "list_real.txt"
+    real_datalist.write_text(real_clip + "\n")
 
     sd = make_state_dict(np.random.default_rng(17))
 
@@ -89,6 +138,7 @@ def workdir(tmp_path_factory):
         {"model": {"name": "EVFIAutoEx", "args": REF_ARGS}}, {"iteration": 0},
     )
     return {"dir": d, "clip": clip, "datalist": str(datalist),
+            "real_clip": real_clip, "real_datalist": str(real_datalist),
             "torch_ckpt": torch_ckpt, "ours_ckpt": ours_ckpt}
 
 
@@ -101,10 +151,16 @@ def _load_pngs(path):
     return out
 
 
-def test_infer_cli_matches_reference_cli(workdir):
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_infer_cli_matches_reference_cli(workdir, name):
+    cfg = CONFIGS[name]
+    real = cfg.get("real", False)
+    flags = cfg["flags"]
     d = workdir["dir"]
-    ref_out = str(d / "ref_out")
-    ours_out = str(d / "ours_out")
+    ref_out = str(d / f"ref_out_{name}")
+    ours_out = str(d / f"ours_out_{name}")
+    clip = workdir["real_clip"] if real else workdir["clip"]
+    datalist = workdir["real_datalist"] if real else workdir["datalist"]
 
     # 1) the reference CLI, in a clean subprocess (no jax -> torch workers
     #    fork safely), shims documented in ref_cli_driver.py
@@ -114,9 +170,9 @@ def test_infer_cli_matches_reference_cli(workdir):
     res = subprocess.run(
         [sys.executable, driver,
          "--model_path", workdir["torch_ckpt"],
-         "--data_list", workdir["datalist"],
+         "--data_list", datalist,
          "--output_path", ref_out,
-         "--device", "cpu", *DATASET_FLAGS],
+         "--device", "cpu", *flags],
         capture_output=True, text=True, timeout=1800, env=env,
         cwd="/root/reference",
     )
@@ -127,17 +183,20 @@ def test_infer_cli_matches_reference_cli(workdir):
 
     infer_main([
         "--model_path", workdir["ours_ckpt"],
-        "--data_list", workdir["datalist"],
+        "--data_list", datalist,
         "--output_path", ours_out,
-        *DATASET_FLAGS,
+        *flags, *cfg.get("extra_ours", []),
     ])
 
-    clip_name = os.path.basename(workdir["clip"])
+    clip_name = os.path.basename(clip)
     ref_img = os.path.join(ref_out, clip_name, "img")
     our_img = os.path.join(ours_out, clip_name, "img")
 
     # ---- per-frame artifacts ---------------------------------------- #
-    for sub, tol in (("gt_frame", 0), ("blurry_frame", 0), ("restored_frame", 1)):
+    subs = [("blurry_frame", 0), ("restored_frame", 1)]
+    if not real:  # the real-blur path has no latent GT (infer_ours.py:131)
+        subs.insert(0, ("gt_frame", 0))
+    for sub, tol in subs:
         ref_pngs = _load_pngs(os.path.join(ref_img, sub))
         our_pngs = _load_pngs(os.path.join(our_img, sub))
         assert ref_pngs, f"reference produced no {sub} PNGs"
@@ -145,13 +204,16 @@ def test_infer_cli_matches_reference_cli(workdir):
             f"{sub}: filename sets differ: {sorted(ref_pngs)[:4]} vs "
             f"{sorted(our_pngs)[:4]}"
         )
-        for name, ref_arr in ref_pngs.items():
-            our_arr = our_pngs[name]
-            assert ref_arr.shape == our_arr.shape, (sub, name)
+        for png_name, ref_arr in ref_pngs.items():
+            our_arr = our_pngs[png_name]
+            assert ref_arr.shape == our_arr.shape, (sub, png_name)
             diff = np.abs(ref_arr.astype(np.int16) - our_arr.astype(np.int16))
             assert diff.max() <= tol, (
-                f"{sub}/{name}: max uint8 diff {diff.max()} > {tol}"
+                f"{sub}/{png_name}: max uint8 diff {diff.max()} > {tol}"
             )
+
+    if real:
+        return  # no GT -> no metrics to compare (infer_ours.py:121-129)
 
     # ---- metrics YAML ------------------------------------------------ #
     # the reference's Logger_yaml plain-dumps pandas/numpy scalars, so its

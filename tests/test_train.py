@@ -467,3 +467,53 @@ def test_spatial_train_step_matches_dp_realistic_rows(rng):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
         results["dp"][1], results["dpxsp"][1],
     )
+
+
+@pytest.mark.parametrize("fashion,bl_in", [("RGBLap", 4), ("DarkCh", 1)])
+def test_spatial_train_step_matches_dp_flagship_graph(rng, fashion, bl_in):
+    """DPxSP on the FULL flagship module graph (use_gt_ex=False so
+    ExposureDecision + the blurriness map are in the loop, detail on, FAC
+    in Modification): the graph pieces with nontrivial halo/collective
+    behavior under H-sharding — the 35x35 dark-channel reduce_window
+    (DarkCh), the Laplacian stencil (RGBLap), the global-avg-pool exposure
+    head, and the correlation/GroupNorm block — must all still match the
+    DP-only step through fwd+bwd.  Ref: myutils/utils.py:15-31,
+    models/Ours/model_singleframe.py:56-76."""
+    model = EVFIAutoEx(
+        frame_basech=8, event_basech=8, inter_ch=8, tb=4,
+        use_gt_ex=False, blurry_fashion=fashion, bl_in=bl_in,
+        step=2, dual_path=True, residual=True, detail_enabled=True,
+        channels=(4, 6, 8, 12),
+    )
+    # 128 rows over 2 model shards (64 each): the 35x35 dark-channel
+    # window needs a 17-row halo — a quarter of the shard
+    B, H, W, TB = 2, 128, 32, 4
+    frame = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    event = np.abs(rng.standard_normal((B, H, W, 2 * TB))).astype(np.float32)
+    t = rng.uniform(0, 1, (B, 1)).astype(np.float32)
+    batch_np = {"frame": frame, "event": event, "t": t, "target": frame}
+
+    params = model.init(
+        jax.random.key(0), jnp.asarray(frame[:1]), jnp.asarray(event[:1]),
+        jnp.asarray(t[:1]),
+    )
+    tx, _ = build_optimizer({"name": "Adam", "args": {"lr": 1e-3}})
+
+    results = {}
+    for tag, mp, spatial in (("dp", 1, False), ("dpxsp", 2, True)):
+        mesh = make_mesh(num_devices=2, model_parallel=mp)
+        batch_sh, repl = dp_shardings(mesh)
+        state = jax.device_put(create_train_state(model, params, tx), repl)
+        step = make_train_step(model, mesh=mesh, spatial=spatial, donate=False)
+        batch = {k: jax.device_put(v, batch_sh) for k, v in batch_np.items()}
+        state, metrics = step(state, batch)
+        results[tag] = (
+            float(metrics["train_loss"]),
+            jax.tree.map(np.asarray, state.params),
+        )
+
+    assert np.isclose(results["dp"][0], results["dpxsp"][0], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        results["dp"][1], results["dpxsp"][1],
+    )
