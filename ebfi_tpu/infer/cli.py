@@ -157,6 +157,28 @@ def load_model(model_path: Optional[str], precision: str = "f32"):
                                   precision=precision)
 
 
+class _AsyncWriter:
+    """PNG writes on background threads so host IO overlaps the (async)
+    device compute — the reference writes synchronously inside its hot loop
+    (infer_ours.py:132-142), which serializes ~33 720p PNG encodes per
+    blurry frame with the forward pass.  Errors surface at drain()."""
+
+    def __init__(self, threads: int = 2):
+        import concurrent.futures as cf
+
+        self._pool = cf.ThreadPoolExecutor(threads)
+        self._futures = []
+
+    def submit(self, fn, *args):
+        self._futures.append(self._pool.submit(fn, *args))
+
+    def drain(self):
+        for f in self._futures:
+            f.result()
+        self._futures.clear()
+        self._pool.shutdown(wait=True)
+
+
 def infer_clip(
     dataloader_config: dict,
     data_path: str,
@@ -187,6 +209,7 @@ def infer_clip(
     track = MetricTracker(keys)
     psnr_steps: List[float] = []
 
+    writer = _AsyncWriter()
     iL = -1
     iF = -1
     for window in loader:
@@ -224,16 +247,19 @@ def infer_clip(
                         if metrics.get("lpips") is not None:
                             track.update("lpips", metrics["lpips"](np.clip(pred, 0, 1), gt))
                         psnr_steps.append(psnr_val)
-                    save_frame(
+                    writer.submit(
+                        save_frame,
                         (np.clip(pred[0], 0, 1) * 255).astype(np.uint8),
                         os.path.join(restored_path, f"{iF:09d}_{iL}.png"),
                     )
                 if latent is not None:
-                    save_frame(
+                    writer.submit(
+                        save_frame,
                         (latent[0, idx_l, 0, i] * 255).astype(np.uint8),
                         os.path.join(gt_path, f"{iF:09d}_{iL}.png"),
                     )
-            save_frame(
+            writer.submit(
+                save_frame,
                 (blurry[0, idx_l, 0] * 255).astype(np.uint8),
                 os.path.join(blurry_path, f"{iL:09d}.png"),
             )
@@ -241,13 +267,15 @@ def infer_clip(
             ev = event[0]  # (H, W, 2TB)
             tb = ev.shape[-1] // 2
             for b in range(tb):
-                save_event_cnt(
-                    ev[..., 2 * b : 2 * b + 2],
+                writer.submit(
+                    save_event_cnt,
+                    np.ascontiguousarray(ev[..., 2 * b : 2 * b + 2]),
                     os.path.join(event_path, f"{iL}_TB{b:09d}.png"),
-                    color_scheme="blue_red",
-                    black_background=False,
+                    "blue_red",
+                    False,
                 )
 
+    writer.drain()
     result = track.result()
     out = {"result": result, "result_step": {"psnr": psnr_steps}}
     logger.log_dict(result, "evaluation results")

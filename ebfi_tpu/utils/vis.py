@@ -23,14 +23,19 @@ except ImportError:  # pragma: no cover
 
 
 def save_frame(frame: np.ndarray, path: str) -> None:
-    """frame: HxWx3 uint8 RGB or HxW grayscale."""
+    """frame: HxWx3 uint8 RGB or HxW grayscale.
+
+    PNG compression level 1: still lossless (identical decoded pixels,
+    just larger files), ~2-3x faster to encode — PNG writes sit in the
+    inference hot loop (infer_ours.py:132-142)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if not _HAS_CV2:
         raise RuntimeError("cv2 required for PNG output")
+    flags = [cv2.IMWRITE_PNG_COMPRESSION, 1]
     if frame.ndim == 3:
-        cv2.imwrite(path, frame[:, :, ::-1])  # RGB -> BGR
+        cv2.imwrite(path, frame[:, :, ::-1], flags)  # RGB -> BGR
     else:
-        cv2.imwrite(path, frame)
+        cv2.imwrite(path, frame, flags)
 
 
 def render_event_cnt(
