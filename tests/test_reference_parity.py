@@ -187,6 +187,103 @@ def test_reference_exposure_decision_parity(rng, cpu_cuda_noop):
     np.testing.assert_allclose(np.asarray(ex), ref_ex.numpy(), atol=1e-5)
 
 
+def _import_reference_losses():
+    """Import the reference's own loss/restore.py under CPU shims: skimage
+    is absent in this image (only PSNR/SSIM metric fns use it — not the
+    training losses) and the vendored LPIPS package pulls torchvision at
+    import (never constructed here)."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    if "skimage" not in sys.modules:
+        sk = _fake_module("skimage")
+        sk.metrics = _fake_module(
+            "skimage.metrics", structural_similarity=None,
+            peak_signal_noise_ratio=None,
+        )
+        sk.transform = _fake_module("skimage.transform")
+        sk.color = _fake_module("skimage.color")
+    _import_reference_model()  # installs the torchvision/_ext shims
+    import loss.restore as ref_restore
+
+    return ref_restore
+
+
+def test_reference_full_model_gradient_parity(rng, cpu_cuda_noop):
+    """TRAINING-MATH parity (VERDICT r3 #7): one train step's gradients —
+    the shipped phase-1 loss 1.0*(Lap+census)(sharp) + 0.1*(Lap+census)
+    (final) (train_ours.py:258-268) through the full flagship graph — diffed
+    per-parameter against torch autograd on the reference's own model and
+    loss classes, via the synthetic converted checkpoint.  Gradients convert
+    with the same converter as weights (it is a pure reindexing/stack)."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W, B = 32, 32, 2
+    sd = make_state_dict(rng)
+    net = _build_reference(sd)
+    model, params = _build_ours(sd)
+    ref_restore = _import_reference_losses()
+
+    frame = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    event_stack = np.abs(rng.standard_normal((B, TB, 2, H, W))).astype(np.float32)
+    ts = rng.uniform(0, 1, (B, 1)).astype(np.float32)
+    target = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+
+    # ---- reference: torch autograd through its own model + losses ---- #
+    lap = ref_restore.LaplacianLoss()
+    census = ref_restore.Ternary()
+    if isinstance(census.w, np.ndarray):  # CPU: the .cuda() branch skipped
+        census.w = torch.tensor(census.w).float()
+    tgt = torch.from_numpy(target)
+    sharp_t, final_t = net(
+        torch.from_numpy(frame), torch.from_numpy(event_stack),
+        torch.from_numpy(ts),
+    )
+    loss_t = 0.1 * (lap(final_t, tgt) + census(final_t, tgt)) + 1.0 * (
+        lap(sharp_t, tgt) + census(sharp_t, tgt)
+    )
+    loss_t.backward()
+    grads_sd = {
+        k: p.grad.detach().numpy() if p.grad is not None else np.zeros_like(
+            p.detach().numpy()
+        )
+        for k, p in net.named_parameters()
+    }
+    ref_grads = convert_evfi_state_dict(grads_sd, step=STEP)
+
+    # ---- ours: the actual train-step loss fn ------------------------- #
+    from ebfi_tpu.train.train_step import make_loss_fn
+
+    batch = {
+        "frame": jnp.asarray(frame.transpose(0, 2, 3, 1)),
+        "event": jnp.asarray(
+            event_stack.reshape(B, 2 * TB, H, W).transpose(0, 2, 3, 1)
+        ),
+        "t": jnp.asarray(ts),
+        "target": jnp.asarray(target.transpose(0, 2, 3, 1)),
+    }
+    loss_fn = make_loss_fn(detail_enabled=True)
+    (loss_j, _), grads_j = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, model.apply, batch, jnp.int32(0)
+    )
+
+    loss_ref = float(loss_t.detach())
+    assert abs(float(loss_j) - loss_ref) < 1e-2 * max(1.0, abs(loss_ref))
+
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref_grads["params"])[0])
+    flat_our = jax.tree_util.tree_flatten_with_path(grads_j["params"])[0]
+    assert len(flat_ref) == len(flat_our)
+    gmax = max(float(np.abs(np.asarray(g)).max()) for _, g in flat_our)
+    for path, g in flat_our:
+        r = np.asarray(flat_ref[path])
+        g = np.asarray(g)
+        # rel-err < 1e-4 per leaf, floored against the global grad scale
+        np.testing.assert_allclose(
+            g, r, rtol=1e-4, atol=1e-6 * gmax,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_reference_fac_module_parity(rng):
     """Reference KernelConv2D module (replication pad + kernel math,
     KernelConv2D.py:77-87) vs ops.kernel_conv2d on random shapes."""
