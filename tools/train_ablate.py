@@ -1,0 +1,89 @@
+"""Focused train-step ablations: B scaling + forward-only at the recipe
+shape.  Same scan-based methodology as tools/profile_train.py, minus the
+per-config cost-analysis compile (FLOPs come from tools/train_flops.py).
+
+    python tools/train_ablate.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    from ebfi_tpu.models import EVFIAutoEx
+    from ebfi_tpu.losses import laplacian_loss, census_loss
+    from ebfi_tpu.utils.precision import to_bf16
+
+    model = EVFIAutoEx(
+        frame_basech=64, event_basech=64, inter_ch=64, tb=16,
+        blurry_fashion="RGBLap", bl_in=4, step=12, dual_path=True,
+        residual=True, detail_enabled=True, channels=(16, 24, 32, 64),
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True,
+    )
+    rng = np.random.default_rng(0)
+
+    def measure(B, H, W, reps, label, grad=True):
+        frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+        event = jnp.asarray(rng.standard_normal((B, H, W, 32)).astype(np.float32))
+        t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
+        target = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
+        params = model.init(jax.random.key(0), frame[:, :64, :64],
+                            event[:, :64, :64], t)
+
+        def loss_fn(p, fr):
+            cp = to_bf16(p)
+            sharp, final = model.apply(
+                cp, fr.astype(jnp.bfloat16), event.astype(jnp.bfloat16), t
+            )
+            final = final.astype(jnp.float32)
+            sharp = sharp.astype(jnp.float32)
+            return (laplacian_loss(final, target) + census_loss(final, target)
+                    ) * 0.1 + (laplacian_loss(sharp, target)
+                               + census_loss(sharp, target))
+
+        def one(fr):
+            if grad:
+                loss, grads = jax.value_and_grad(loss_fn)(params, fr)
+                s = sum(jnp.sum(g.astype(jnp.float32))
+                        for g in jax.tree.leaves(grads))
+                return loss + 0.0 * s
+            return loss_fn(params, fr)
+
+        def scan_fn(n):
+            def body(c, _):
+                return one(frame * 0.0 + c * 0.0 + frame), None
+
+            return lax.scan(body, jnp.float32(0.0), None, length=n)[0]
+
+        run1 = jax.jit(scan_fn, static_argnums=0)
+        float(run1(2))
+        tiny = jax.jit(lambda x: x + 1.0)
+        float(tiny(jnp.float32(0)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(tiny(jnp.float32(0)))
+        floor = (time.perf_counter() - t0) / 5
+
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run1(reps))
+            best = min(best, (time.perf_counter() - t0 - floor) / reps)
+        print(f"{label:34s} B={B} {H}x{W}: {best*1e3:7.2f} ms/step "
+              f"({B/best:7.1f} samples/s)", flush=True)
+
+    measure(32, 128, 128, 8, "flagship fwd+bwd")
+    measure(8, 128, 128, 10, "flagship fwd only", grad=False)
+
+
+if __name__ == "__main__":
+    main()
