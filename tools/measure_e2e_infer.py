@@ -94,6 +94,14 @@ def run_scenario(name, clip, engine, cfg, real, out_root):
         dt = time.perf_counter() - t0
         times.append(dt)
         n_out = len(glob.glob(os.path.join(img_path, "restored_frame", "*.png")))
+    if n_out == 0:
+        print(
+            f"{name}: ZERO output windows — the clip is too short for the "
+            "windowing config (needs >= NumFramePerPeriod*NumPeriodPerSeq "
+            "frames); regenerate with a larger --frames", flush=True,
+        )
+        return {"scenario": name, "output_frames": 0, "wall_s": 0.0,
+                "fps_e2e": 0.0}
     fps = n_out / times[-1]
     print(
         f"{name}: {n_out} output frames in {times[-1]:.2f}s "
