@@ -60,12 +60,19 @@ def main():
 
         def scan_fn(n):
             def body(c, _):
-                return one(frame * 0.0 + c * 0.0 + frame), None
+                # couple the batch to the carry with a non-zero negligible
+                # term (loss ~1e0-1e4 scaled by 1e-38 is denormal-range vs
+                # frame values in [0, 1]) so XLA cannot constant-fold the
+                # coupling away and hoist the loop-invariant fwd+bwd out of
+                # the scan (advisor finding, round 4)
+                return one(frame + c * jnp.float32(1e-38)), None
 
             return lax.scan(body, jnp.float32(0.0), None, length=n)[0]
 
         run1 = jax.jit(scan_fn, static_argnums=0)
-        float(run1(2))
+        # warm up the SAME static scan length as the timed runs so the
+        # first timed repetition does not pay a recompile (advisor finding)
+        float(run1(reps))
         tiny = jax.jit(lambda x: x + 1.0)
         float(tiny(jnp.float32(0)))
         t0 = time.perf_counter()
