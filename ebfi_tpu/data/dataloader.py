@@ -26,6 +26,30 @@ def read_datalist(path: str) -> List[str]:
         return [ln.strip() for ln in f if ln.strip()]
 
 
+# --------------------------------------------------------------------- #
+# process-pool fetch plane (the reference's torch num_workers>0 analogue,
+# h5dataloader.py/infer_ours.py:54-57 use 4 worker processes).  Thread
+# workers share the parent's GIL, so numpy-heavy decode (blur synthesis,
+# uint8->f32 scaling) cannot overlap main-thread work on a busy host;
+# worker PROCESSES can.  Each worker rebuilds its datasets from
+# (paths, config) on first use — h5py handles don't cross processes.
+
+_PP_DATASETS: Optional[list] = None
+
+
+def _pp_init(paths, config, real_data, fast):
+    global _PP_DATASETS
+    if fast and not real_data:
+        from .h5dataset_fast import H5ClipDatasetFast as cls
+    else:
+        cls = H5ClipDatasetReal if real_data else H5ClipDataset
+    _PP_DATASETS = [cls(p, config) for p in paths]
+
+
+def _pp_fetch(di: int, ii: int, seed: int) -> Dict[str, np.ndarray]:
+    return _PP_DATASETS[di].get(ii, seed=seed)
+
+
 def collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
@@ -58,17 +82,22 @@ class EBFIDataLoader:
         seed: int = 0,
         num_threads: int = 2,
         fast: bool = False,
+        num_workers: int = 0,
     ):
         if isinstance(sources, str):
             paths = [sources] if sources.endswith(".h5") else read_datalist(sources)
         else:
             paths = list(sources)
-        if fast and not real_data:
+        if fast and not real_data and num_workers == 0:
+            # fast preload only pays off where fetches happen; with process
+            # workers the parent instances exist only for index/len, so the
+            # (large) per-item cache is built in the workers instead
             from .h5dataset_fast import H5ClipDatasetFast
 
             cls = H5ClipDatasetFast
         else:
             cls = H5ClipDatasetReal if real_data else H5ClipDataset
+        self._worker_spec = (paths, dataset_config, real_data, fast)
         self.datasets = [cls(p, dataset_config) for p in paths]
         self.index = [
             (di, ii) for di, ds in enumerate(self.datasets) for ii in range(len(ds))
@@ -81,6 +110,7 @@ class EBFIDataLoader:
         self.seed = seed
         self.epoch = 0
         self.num_threads = num_threads
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -110,8 +140,11 @@ class EBFIDataLoader:
         # Per-item augmentation seeds are drawn HERE, in the main thread and
         # in item order (the reference's per-item `random.randint(0, 2**32)`,
         # h5dataset.py:192-194 with num_workers=0) — drawing them inside the
-        # worker threads would make augmentation depend on thread scheduling.
+        # workers would make augmentation depend on scheduling.
         seeds = [[random.randint(0, 2**32) for _ in batch] for batch in batches]
+        if self.num_workers > 0:
+            yield from self._iter_processes(batches, seeds)
+            return
         # Not a context manager: abandoning the generator mid-epoch must not
         # block (or crash at interpreter teardown) on a joining pool.
         pool = cf.ThreadPoolExecutor(self.num_threads)
@@ -128,6 +161,54 @@ class EBFIDataLoader:
             except Exception:
                 # abandoned generators may be finalized during interpreter
                 # shutdown when concurrent.futures internals are already gone
+                pass
+
+    def _iter_processes(self, batches, seeds) -> Iterator[Dict[str, np.ndarray]]:
+        """Worker-process fetch plane: decode/synthesis/encode run OUTSIDE
+        the main interpreter so they overlap device compute, metrics, and
+        PNG encodes even on GIL-bound numpy work (the torch num_workers
+        analogue).  Items are consumed strictly in submission order, so
+        batch contents and augmentation seeds are identical to the
+        single-process path.  In-flight submissions are bounded to cap host
+        memory (a 720p eval window is ~0.4 GB)."""
+        import multiprocessing as mp
+
+        # spawn, not fork: the parent may hold a live TPU client/tunnel and
+        # XLA threads that must not be duplicated into the workers
+        ctx = mp.get_context("spawn")
+        pool = cf.ProcessPoolExecutor(
+            self.num_workers,
+            mp_context=ctx,
+            initializer=_pp_init,
+            initargs=self._worker_spec,
+        )
+        flat = [
+            (self.index[i], s)
+            for batch, bs in zip(batches, seeds)
+            for i, s in zip(batch, bs)
+        ]
+        # lookahead bound (in ITEMS beyond the batch being assembled):
+        # enough to keep every worker busy, small enough to cap RSS
+        lookahead = max(self.num_workers + 1, self.batch_size)
+        pending: List = []
+        flat_pos = 0
+        consumed = 0
+        try:
+            for batch in batches:
+                want = consumed + len(batch) + lookahead
+                while flat_pos < len(flat) and flat_pos < want:
+                    (di, ii), s = flat[flat_pos]
+                    pending.append(pool.submit(_pp_fetch, di, ii, s))
+                    flat_pos += 1
+                items = [pending[consumed + j].result() for j in range(len(batch))]
+                for j in range(len(batch)):
+                    pending[consumed + j] = None  # free the (large) result
+                consumed += len(batch)
+                yield collate(items)
+        finally:
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
                 pass
 
 

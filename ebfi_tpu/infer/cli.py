@@ -97,6 +97,11 @@ def get_flags(argv=None):
                         "torch.manual_seed noise bit-for-bit (needs torch; "
                         "parity runs), 'numpy' is the torch-free default")
     p.add_argument("--real_blur", default=False, action="store_true")
+    p.add_argument("--workers", type=int, default=0,
+                   help="worker PROCESSES for the host fetch plane (H5 "
+                        "decode + blur synthesis + event encode); 0 = "
+                        "in-process threads.  The reference's loader uses "
+                        "4 torch workers (infer_ours.py:54-57)")
     p.add_argument("--precision", type=str, default="f32", choices=["f32", "bf16"])
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="path to LPIPS linear-head .pth (optional)")
@@ -187,14 +192,21 @@ def infer_clip(
     img_path: str,
     logger: YamlResultLogger,
     metrics: Dict,
+    num_workers: int = 0,
 ) -> Dict:
-    """Per-clip loop (infer_body, infer_ours.py:42-153)."""
+    """Per-clip loop (infer_body, infer_ours.py:42-153).
+
+    num_workers > 0 moves the host fetch plane (H5 decode, blur synthesis,
+    event encoding) into worker processes so it pipelines against the
+    device forward, metrics, and PNG encodes — the loop then runs at
+    ~max(host, device) rather than host+device."""
     logger.log_dict(dataloader_config, "eval_datasetloader_config")
     loader = EBFIDataLoader(
         data_path,
         dataloader_config["dataset"],
         batch_size=dataloader_config.get("batch_size", 1),
         real_data=real_blur,
+        num_workers=num_workers,
     )
     blurry_path = os.path.join(img_path, "blurry_frame")
     event_path = os.path.join(img_path, "event")
@@ -210,8 +222,62 @@ def infer_clip(
     psnr_steps: List[float] = []
 
     writer = _AsyncWriter()
-    iL = -1
     iF = -1
+
+    def emit(iL, finals_dev, num_i, blurry_l, event_l, latent_l):
+        """Host-side output processing for one blurry frame: metrics, PNG
+        submits.  `finals_dev` are device arrays from a PREVIOUS dispatch —
+        by the time this runs the next window's forward is already queued,
+        so the np.asarray sync overlaps device compute (software pipeline;
+        the reference serializes forward -> metrics -> writes,
+        infer_ours.py:105-142)."""
+        nonlocal iF
+        finals = None if finals_dev is None else np.asarray(finals_dev)
+        for i in range(num_i):
+            iF += 1
+            if finals is not None:
+                pred = finals[i]  # (B, H, W, 3)
+                if latent_l is not None:
+                    gt = latent_l[:, i]
+                    # metrics consume CHW tensors like the reference
+                    pred_chw = pred.transpose(0, 3, 1, 2)
+                    gt_chw = gt.transpose(0, 3, 1, 2)
+                    psnr_val = psnr_metric(pred_chw, gt_chw)
+                    track.update("psnr", psnr_val)
+                    track.update("mse", float(np.mean((pred - gt) ** 2)))
+                    track.update("ssim", ssim_metric(pred_chw, gt_chw))
+                    if metrics.get("lpips") is not None:
+                        track.update("lpips", metrics["lpips"](np.clip(pred, 0, 1), gt))
+                    psnr_steps.append(psnr_val)
+                writer.submit(
+                    save_frame,
+                    (np.clip(pred[0], 0, 1) * 255).astype(np.uint8),
+                    os.path.join(restored_path, f"{iF:09d}_{iL}.png"),
+                )
+            if latent_l is not None:
+                writer.submit(
+                    save_frame,
+                    (latent_l[0, i] * 255).astype(np.uint8),
+                    os.path.join(gt_path, f"{iF:09d}_{iL}.png"),
+                )
+        writer.submit(
+            save_frame,
+            (blurry_l * 255).astype(np.uint8),
+            os.path.join(blurry_path, f"{iL:09d}.png"),
+        )
+        # per-bin polarity renders (infer_ours.py:138-142)
+        tb = event_l.shape[-1] // 2
+        for b in range(tb):
+            writer.submit(
+                save_event_cnt,
+                np.ascontiguousarray(event_l[..., 2 * b : 2 * b + 2]),
+                os.path.join(event_path, f"{iL}_TB{b:09d}.png"),
+                "blue_red",
+                False,
+            )
+
+    iL = -1
+    prev = None  # pending emit args for the previously dispatched frame
     for window in loader:
         blurry = window["blurry"]      # (B, L, NumP, H, W, 3)
         events = window["events"]      # (B, L, H, W, 2TB)
@@ -225,55 +291,19 @@ def infer_clip(
             event = events[:, idx_l]
             ts = rel_ts[:, idx_l, 0]     # (B, NumI)
             gt_ex = exposure[:, idx_l, 0]
+            finals_dev = None
             if engine is not None:
-                _, finals = engine.interpolate(
+                _, finals_dev = engine.interpolate(
                     frame, event, ts, gt_ex, outputs="final"
-                )
-                finals = np.asarray(finals)  # (NumI, B, H, W, 3)
-            num_i = ts.shape[-1]
-            for i in range(num_i):
-                iF += 1
-                if engine is not None:
-                    pred = finals[i]  # (B, H, W, 3)
-                    if latent is not None:
-                        gt = latent[:, idx_l, 0, i]
-                        # metrics consume CHW tensors like the reference
-                        pred_chw = pred.transpose(0, 3, 1, 2)
-                        gt_chw = gt.transpose(0, 3, 1, 2)
-                        psnr_val = psnr_metric(pred_chw, gt_chw)
-                        track.update("psnr", psnr_val)
-                        track.update("mse", float(np.mean((pred - gt) ** 2)))
-                        track.update("ssim", ssim_metric(pred_chw, gt_chw))
-                        if metrics.get("lpips") is not None:
-                            track.update("lpips", metrics["lpips"](np.clip(pred, 0, 1), gt))
-                        psnr_steps.append(psnr_val)
-                    writer.submit(
-                        save_frame,
-                        (np.clip(pred[0], 0, 1) * 255).astype(np.uint8),
-                        os.path.join(restored_path, f"{iF:09d}_{iL}.png"),
-                    )
-                if latent is not None:
-                    writer.submit(
-                        save_frame,
-                        (latent[0, idx_l, 0, i] * 255).astype(np.uint8),
-                        os.path.join(gt_path, f"{iF:09d}_{iL}.png"),
-                    )
-            writer.submit(
-                save_frame,
-                (blurry[0, idx_l, 0] * 255).astype(np.uint8),
-                os.path.join(blurry_path, f"{iL:09d}.png"),
+                )  # async dispatch — returns device arrays immediately
+            if prev is not None:
+                emit(*prev)
+            prev = (
+                iL, finals_dev, ts.shape[-1], blurry[0, idx_l, 0], event[0],
+                None if latent is None else latent[:, idx_l, 0],
             )
-            # per-bin polarity renders (infer_ours.py:138-142)
-            ev = event[0]  # (H, W, 2TB)
-            tb = ev.shape[-1] // 2
-            for b in range(tb):
-                writer.submit(
-                    save_event_cnt,
-                    np.ascontiguousarray(ev[..., 2 * b : 2 * b + 2]),
-                    os.path.join(event_path, f"{iL}_TB{b:09d}.png"),
-                    "blue_red",
-                    False,
-                )
+    if prev is not None:
+        emit(*prev)
 
     writer.drain()
     result = track.result()
@@ -335,7 +365,8 @@ def main(argv=None):
         os.makedirs(img_path, exist_ok=False)
         with YamlResultLogger(os.path.join(root, "inference.yml")) as logger:
             logger.log_info(f"inference [{flags.model_path}] on {data_path}")
-            r = infer_clip(cfg, data_path, engine, flags.real_blur, img_path, logger, metrics)
+            r = infer_clip(cfg, data_path, engine, flags.real_blur, img_path,
+                           logger, metrics, num_workers=flags.workers)
         r["data_name"] = data_name
         results.append(r)
 

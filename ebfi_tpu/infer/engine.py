@@ -95,11 +95,10 @@ class InferenceEngine:
             use_hoist = (
                 mode == "batched"
                 and self._hoist
-                and B == 1
                 and model.dual_path
                 and model.residual
             )
-            if use_hoist:
+            if use_hoist and B == 1:
                 # B=1 production path: the trunk is never repeated; the
                 # T-independent stage partials are computed once and the
                 # per-timestamp tail runs at batch `chunk`
@@ -123,6 +122,47 @@ class InferenceEngine:
                 # (n_chunks, chunk, Hp, Wp, 3) -> (N, 1, Hp, Wp, 3)
                 outs = [
                     o.reshape(n_chunks * chunk, *o.shape[2:])[:N, None] for o in outs
+                ]
+            elif use_hoist:
+                # F>1 blurry frames in ONE program: the features trunk runs
+                # batched over the F frames (better MXU utilization than F
+                # separate calls), then an outer lax.scan sweeps frames —
+                # each step hoists its frame's stage partials at B=1 (the
+                # hoist dict carries a stage-stacked leaf, so it cannot ride
+                # the scan's leading axis) and runs the SAME chunk-batched
+                # tail as the B=1 path, reusing the shared Pallas mod_fac
+                # kernel and the packed detail pipeline unchanged.  Per-call
+                # dispatch and host-sync floors amortize over all F*N
+                # output frames.
+                chunk = min(N, self.multi_chunk)
+                n_chunks = -(-N // chunk)
+                ts_p = jnp.pad(ts, ((0, 0), (0, n_chunks * chunk - N)), mode="edge")
+                ts_chunks = ts_p.reshape(B, n_chunks, chunk)
+
+                def tail_frame(carry, xs_f):
+                    tr_f, ts_f = xs_f
+                    tr_f = jax.tree.map(lambda x: x[None], tr_f)
+                    h_f = model.apply(params, tr_f, method=EVFIAutoEx.hoist)
+
+                    def tail_h(c2, t_chunk):
+                        sharp, final = model.apply(
+                            params, tr_f, h_f, t_chunk[:, None],
+                            method=EVFIAutoEx.from_timestamp_shared,
+                        )
+                        outs = (final.astype(jnp.float32),)
+                        if want_sharp:
+                            outs = (sharp.astype(jnp.float32),) + outs
+                        return c2, outs
+
+                    _, outs_f = lax.scan(tail_h, 0, ts_f)
+                    return carry, outs_f
+
+                _, outs = lax.scan(tail_frame, 0, (trunk, ts_chunks))
+                # (B, n_chunks, chunk, Hp, Wp, 3) -> (N, B, Hp, Wp, 3)
+                outs = [
+                    o.reshape(B, n_chunks * chunk, *o.shape[3:])[:, :N]
+                    .transpose(1, 0, 2, 3, 4)
+                    for o in outs
                 ]
             elif mode == "scan":
                 # memory-lean: one tail per step (good for large N / big B)

@@ -223,3 +223,31 @@ def test_esim_sample_thresholds_scheme():
     rng2 = np.random.default_rng(1)
     hi_draws = [sample_thresholds(rng2, (lo, hi), mu=1.5) for _ in range(200)]
     assert np.mean([d[1] - d[0] for d in hi_draws]) > 0.0
+
+
+def test_loader_process_workers_match_threads(clip, tmp_path):
+    """num_workers>0 (process fetch plane) yields bit-identical batches in
+    the same order as the in-process path — incl. augmentation, whose
+    per-item seeds are drawn in the main thread either way."""
+    import random
+
+    cfg = dataset_cfg(
+        data_augment=dict(
+            dataset_cfg()["data_augment"],
+            enabled=True,
+            random_crop=dict(enabled=True, size=[32, 32]),
+            flip=dict(enabled=True, horizontal_prob=0.5, vertical_prob=0.5),
+            noise=dict(enabled=True, noise_std=1.0, noise_fraction=0.05),
+        )
+    )
+    random.seed(7)
+    ref = list(EBFIDataLoader(clip, cfg, batch_size=2, shuffle=True, seed=3))
+    random.seed(7)
+    got = list(
+        EBFIDataLoader(clip, cfg, batch_size=2, shuffle=True, seed=3, num_workers=2)
+    )
+    assert len(got) == len(ref) > 0
+    for b_ref, b_got in zip(ref, got):
+        assert set(b_ref) == set(b_got)
+        for k in b_ref:
+            np.testing.assert_array_equal(b_ref[k], b_got[k])

@@ -127,6 +127,34 @@ def test_hoisted_tail_bf16_smoke(rng):
     assert np.mean(np.abs(got - ref)) < 0.02
 
 
+def test_hoisted_tail_multi_frame_matches_per_t_forward(rng):
+    """F>1 blurry frames through the hoisted batched path (the outer
+    frame-scan added for multi-frame amortization) == per-T forwards of
+    the same fast-variant model at batch F."""
+    model = default_model().clone(
+        fast_recon=True, fast_detail=True, fast_mod=True, fast_control=True
+    )
+    F = 3
+    frame, event, t, ex = make_inputs(rng, B=F, H=24, W=32)
+    params = model.init(jax.random.key(0), frame, event, t)
+    engine = InferenceEngine(
+        model, params, precision="f32", multi_chunk=3, fast_math=True
+    )
+    assert engine._hoist
+
+    N = 5  # chunk 3 -> 2 chunks with edge padding
+    ts = jnp.asarray(rng.uniform(0, 1, (F, N)).astype(np.float32))
+    # per-frame timestamps DIFFER across the batch: forward each column
+    per_t = [model.apply(params, frame, event, ts[:, [i]]) for i in range(N)]
+    ref_sharp = np.stack([np.asarray(s) for s, _ in per_t])
+    ref_final = np.stack([np.asarray(f) for _, f in per_t])
+
+    sharps, finals = engine.interpolate(frame, event, ts, jnp.zeros((F, 1)))
+    assert finals.shape == (N, F, 24, 32, 3)
+    np.testing.assert_allclose(np.asarray(sharps), ref_sharp, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(finals), ref_final, rtol=1e-4, atol=2e-5)
+
+
 def test_hoisted_tail_non_multiple_of_8(rng):
     """Hoisted fast engine on a non-/8 input (RealBlur-DAVIS is 260x346):
     the engine pads to /8, so every packed pipeline must engage cleanly

@@ -76,7 +76,7 @@ def ensure_ckpt(path):
     )
 
 
-def run_scenario(name, clip, engine, cfg, real, out_root):
+def run_scenario(name, clip, engine, cfg, real, out_root, workers=0):
     from ebfi_tpu.infer.cli import infer_clip
     from ebfi_tpu.utils.logger import YamlResultLogger
 
@@ -108,7 +108,8 @@ def run_scenario(name, clip, engine, cfg, real, out_root):
             os.path.join(os.path.dirname(img_path), "inference.yml")
         )
         t0 = time.perf_counter()
-        infer_clip(cfg, clip, engine, real, img_path, logger, {"lpips": None})
+        infer_clip(cfg, clip, engine, real, img_path, logger, {"lpips": None},
+                   num_workers=workers)
         dt = time.perf_counter() - t0
         times.append(dt)
         n_out = len(glob.glob(os.path.join(img_path, "restored_frame", "*.png")))
@@ -122,11 +123,11 @@ def run_scenario(name, clip, engine, cfg, real, out_root):
                 "fps_e2e": 0.0}
     fps = n_out / times[-1]
     print(
-        f"{name}: {n_out} output frames in {times[-1]:.2f}s "
+        f"{name} (workers={workers}): {n_out} output frames in {times[-1]:.2f}s "
         f"(warm pass; first pass incl. compile {times[0]:.2f}s) "
         f"=> {fps:.2f} frames/sec end-to-end", flush=True,
     )
-    return {"scenario": name, "output_frames": n_out,
+    return {"scenario": name, "workers": workers, "output_frames": n_out,
             "wall_s": round(times[-1], 2), "fps_e2e": round(fps, 2)}
 
 
@@ -135,6 +136,9 @@ def main():
     # default matches the committed fixtures and the documented invocation
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--out", default="/tmp/e2e_infer")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="fetch-plane worker processes (0 = in-process)")
+    ap.add_argument("--scenarios", default="production,eval")
     args = ap.parse_args()
 
     import jax
@@ -160,10 +164,14 @@ def main():
     ds["data_augment"]["noise"]["enabled"] = False
     ds["data_augment"]["hot_pixel"]["enabled"] = False
 
-    results = [
-        run_scenario("production", real_clip, engine, cfg, True, args.out),
-        run_scenario("eval", clip, engine, cfg, False, args.out),
-    ]
+    wanted = args.scenarios.split(",")
+    results = []
+    if "production" in wanted:
+        results.append(run_scenario("production", real_clip, engine, cfg,
+                                    True, args.out, workers=args.workers))
+    if "eval" in wanted:
+        results.append(run_scenario("eval", clip, engine, cfg, False,
+                                    args.out, workers=args.workers))
     print(json.dumps(results))
 
 

@@ -54,6 +54,9 @@ def main():
                     help="bisect the hoisted (from_timestamp_shared) tail")
     ap.add_argument("--rcsub", type=int, default=0,
                     help="rc_tail_subchunk for the hoisted tail")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated prefix subset (saves tunnel "
+                         "compiles when bisecting one stage)")
     args = ap.parse_args()
 
     import jax
@@ -143,7 +146,10 @@ def main():
             return jax.jit(run)
 
         results = {}
-        for which in ("rc", "mod", "recon", "final_only", "full", "fts"):
+        names = ("rc", "mod", "recon", "final_only", "full", "fts")
+        if args.only:
+            names = tuple(n for n in names if n in args.only.split(","))
+        for which in names:
             fn = prefix(which)
             comp = fn.lower(trunk, hoisted, tcol).compile()
             fl = float(comp.cost_analysis().get("flops", float("nan")))
@@ -152,7 +158,7 @@ def main():
             print(f"prefix {which:10s}: {t*1e3:8.2f} ms = {t/CH*1e3:6.2f} ms/frame "
                   f"| {fl/1e12:7.3f} TFLOP ({fl/CH/1e12:6.3f}/frame) | {fl/t/1e12:6.1f} TF/s")
 
-        keys = ["rc", "mod", "recon", "final_only"]
+        keys = [k for k in ("rc", "mod", "recon", "final_only") if k in results]
         prev_t, prev_f = 0.0, 0.0
         print("\nstage deltas (prefix differences — include inter-stage glue):")
         for k in keys:
@@ -161,9 +167,10 @@ def main():
                   f"{(fl-prev_f)/CH/1e12:6.3f} TFLOP/frame  "
                   f"{(fl-prev_f)/max(t-prev_t,1e-9)/1e12:6.1f} TF/s")
             prev_t, prev_f = t, fl
-        t_full, _ = results["full"]
-        t_fo, _ = results["final_only"]
-        print(f"  sharp output cost (full - final_only): {(t_full-t_fo)/CH*1e3:6.2f} ms/frame")
+        if "full" in results and "final_only" in results:
+            t_full, _ = results["full"]
+            t_fo, _ = results["final_only"]
+            print(f"  sharp output cost (full - final_only): {(t_full-t_fo)/CH*1e3:6.2f} ms/frame")
         return
 
     def prefix(which):
