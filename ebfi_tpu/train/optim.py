@@ -2,15 +2,35 @@
 
 Mirrors the reference's optimizer config (Adam 1e-4, betas (0.9, 0.999),
 config/train_ours.yml:62-68) and StepLR(step_size=2e5, gamma=0.5)
-(train_ours.yml:76-80) including the `lr_min` gate: the scheduler stops
-decaying once the lr would drop below `lr_min` (train_ours.py:335-338).
+(train_ours.yml:76-80) with the EXACT iteration semantics of its loop:
+`lr_scheduler.step()` runs at the END of every iteration whose index is a
+nonzero multiple of `lr_change_rate` (train_ours.py:335-338, increment at
+:348), so the optimizer update at iteration i sees max(i-1, 0) //
+lr_change_rate completed scheduler steps — the k-th decay first applies at
+iteration k*step_size + 1, not k*step_size.  The `lr_min` gate likewise
+mirrors the reference: it steps WHILE the current lr >= lr_min, so the lr
+freezes one decay BELOW lr_min (the crossing step happens).  Verified
+against torch Adam+StepLR in lockstep by
+tests/test_reference_parity.py::test_reference_multi_step_training_parity.
 """
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Tuple
 
 import optax
+
+
+def _decays_until_below(base_lr: float, gamma: float, lr_min: float) -> int:
+    """Smallest k with base*gamma^k < lr_min (the reference's frozen decay
+    count); a huge sentinel when the gate never engages."""
+    if lr_min <= 0 or not (0 < gamma < 1):
+        return 10**9
+    k = 0
+    lr = base_lr
+    while lr >= lr_min and k < 200:
+        lr *= gamma
+        k += 1
+    return k
 
 
 def build_lr_schedule(
@@ -20,37 +40,36 @@ def build_lr_schedule(
     lr_min: float = 0.0,
     lr_change_rate: int = 1,
 ) -> Callable[[int], float]:
-    """Returns schedule(step) -> lr.
+    """Returns schedule(step) -> lr, where `step` is the 0-based optimizer
+    update index (== the reference's train_iter_idx at update time)."""
 
-    `lr_change_rate` mirrors iteration_based_train.lr_change_rate: the
-    scheduler's internal step advances once per `lr_change_rate` train
-    iterations (train_ours.py:335-338).
-    """
+    def sched_count(step):
+        import jax.numpy as jnp
+
+        # scheduler.step() calls completed before update `step`
+        return jnp.maximum(step - 1, 0) // lr_change_rate
+
     if name == "StepLR":
-        size = int(args["step_size"]) * lr_change_rate
+        size = int(args["step_size"])
         gamma = float(args["gamma"])
-        # number of decays until lr < lr_min (the reference stops stepping
-        # once get_last_lr() < lr_min, freezing at the last value >= lr_min)
-        if lr_min > 0 and gamma < 1:
-            k_max = max(0, math.floor(math.log(lr_min / base_lr, gamma)))
-        else:
-            k_max = 10**9
+        k_max = _decays_until_below(base_lr, gamma, lr_min)
 
         def schedule(step):
             import jax.numpy as jnp
 
-            k = jnp.minimum(step // size, k_max)
+            k = jnp.minimum(sched_count(step) // size, k_max)
             return base_lr * (gamma ** k)
 
         return schedule
     if name == "ExponentialLR":
         gamma = float(args["gamma"])
+        n_max = _decays_until_below(base_lr, gamma, lr_min)
 
         def schedule(step):
             import jax.numpy as jnp
 
-            lr = base_lr * (gamma ** (step // lr_change_rate))
-            return jnp.maximum(lr, lr_min) if lr_min > 0 else lr
+            n = jnp.minimum(sched_count(step), n_max)
+            return base_lr * (gamma ** n)
 
         return schedule
     raise ValueError(f"Unknown lr_scheduler {name}")

@@ -35,10 +35,16 @@ def clip(tmp_path_factory):
 def test_steplr_schedule_with_lr_min_gate():
     sched = build_lr_schedule("StepLR", 1e-4, {"step_size": 10, "gamma": 0.5}, lr_min=1e-5)
     assert float(sched(0)) == pytest.approx(1e-4)
-    assert float(sched(10)) == pytest.approx(5e-5)
+    # the scheduler steps at the END of each nonzero iteration
+    # (train_ours.py:335-348): update 10 still sees 9 scheduler steps, so
+    # the first decay lands at update 11 — torch-lockstep-verified by
+    # test_reference_parity.py::test_reference_multi_step_training_parity
+    assert float(sched(10)) == pytest.approx(1e-4)
+    assert float(sched(11)) == pytest.approx(5e-5)
     assert float(sched(25)) == pytest.approx(2.5e-5)
-    # decays freeze once lr would cross lr_min (train_ours.py:335-338)
-    assert float(sched(1000)) == pytest.approx(1.25e-5)
+    # the gate steps WHILE lr >= lr_min, so the lr freezes one decay BELOW
+    # lr_min (train_ours.py:335-338): 1e-4 * 0.5^4 = 6.25e-6 < 1e-5
+    assert float(sched(100000)) == pytest.approx(6.25e-6)
 
 
 def test_dp_train_step_runs_and_improves(clip, rng):
