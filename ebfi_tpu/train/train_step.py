@@ -179,6 +179,18 @@ def make_train_step(
     w_adv = float((loss_cfg or {}).get("adversarial", {}).get("weight", 0.01))
     lpips_term, w_lpips = _build_lpips_term(loss_cfg)
 
+    # Sharding story for the fused Pallas mod_fac kernel: pallas_call has
+    # no SPMD partitioning rule, so under H-sharding (spatial=True) the
+    # bank-fused execution variant falls back to its XLA twin — identical
+    # math (the kernel bank materializes in HBM instead of staying in
+    # VMEM), and the twin's convs/FAC shard with halo exchanges like the
+    # rest of the graph.  All other fast variants (rows2/s2d packings) are
+    # plain XLA and shard as-is (DPxSP ≡ DP tested on the CPU mesh,
+    # tests/test_train.py::test_spatial_train_step_matches_dp_flagship_graph).
+    apply_override = None
+    if spatial and getattr(model, "fast_mod", False):
+        apply_override = model.clone(fast_mod=False).apply
+
     if mesh is not None and spatial:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -194,9 +206,10 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
         batch = constrain(batch)
+        apply_fn = apply_override or state.apply_fn
         if adv is None and lpips_term is None:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.apply_fn, batch, state.step
+                state.params, apply_fn, batch, state.step
             )
             return state.apply_gradients(grads), {"train_loss": loss}
 
@@ -208,7 +221,7 @@ def make_train_step(
             )
 
         def full_loss(params):
-            loss, aux = loss_fn(params, state.apply_fn, batch, state.step)
+            loss, aux = loss_fn(params, apply_fn, batch, state.step)
             final = aux["final"]
             extras: Dict[str, jax.Array] = {}
             if lpips_term is not None:

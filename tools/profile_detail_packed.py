@@ -47,6 +47,38 @@ def timed(fn, *args, iters=10, warmup=2):
     return max((time.perf_counter() - t0) / iters - _SYNC_FLOOR[0], 0.0)
 
 
+def timed_scan(fn, *args, reps=10):
+    """Pure device time: REPS serial evaluations inside ONE program (a
+    lax.scan whose per-step inputs depend on the carry, so XLA can neither
+    hoist nor parallelize the body), one host sync, floor-subtracted once.
+    Immune to the tunnel's per-dispatch dead time that pollutes per-call
+    timing of sub-ms stages."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(c, _):
+        # non-zero negligible coupling (advisor round-4: don't rely on
+        # mul-by-zero not being folded)
+        pert = lambda a: a + (c * 1e-30).astype(a.dtype)
+        out = fn(*jax.tree.map(pert, args))
+        leaf = jax.tree.leaves(out)[0]
+        return (leaf.ravel()[0].astype(jnp.float32) * 1e-30 + c * 0.5), None
+
+    @jax.jit
+    def run():
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return c
+
+    float(run())  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run())
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _SYNC_FLOOR[0], 0.0) / reps
+
+
 class _Fake:
     """Duck-typed bound module: exposes .variables for the *_fast helpers."""
 
@@ -57,6 +89,11 @@ class _Fake:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--scan", action="store_true",
+                    help="time each stage as a REPS-loop inside one jit "
+                         "(pure device time; slower to compile)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated stage-name substrings to run")
     args = ap.parse_args()
 
     import jax
@@ -97,9 +134,11 @@ def main():
 
     def report(name, fn, *xs):
         jfn = jax.jit(fn)
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return jfn(*xs)
         comp = jfn.lower(*xs).compile()
         fl = float(comp.cost_analysis().get("flops", float("nan")))
-        t = timed(jfn, *xs)
+        t = timed_scan(fn, *xs) if args.scan else timed(jfn, *xs)
         print(f"{name:28s}: {t*1e3:8.2f} ms = {t/CH*1e3:6.2f} ms/frame "
               f"| {fl/CH/1e12:7.4f} TFLOP/f | {fl/max(t,1e-9)/1e12:6.1f} TF/s",
               flush=True)
