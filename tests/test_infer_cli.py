@@ -126,3 +126,40 @@ def test_cli_real_blur(ckpt, tmp_path):
     assert len(restored) > 0
     assert len(restored) % 6 == 0  # interp_num frames per period
     assert not list((clip_dir / "gt_frame").glob("*.png"))  # no GT for real data
+
+
+def test_cli_workers_match_inprocess(ckpt, clip, tmp_path):
+    """--workers 2 (process fetch plane + pipelined device dispatch) writes
+    bit-identical outputs and metrics to the in-process run."""
+    datalist = tmp_path / "wlist.txt"
+    datalist.write_text(clip + "\n")
+    flags = [
+        "--model_path", ckpt,
+        "--data_list", str(datalist),
+        "--scale", "1", "--ori_scale", "ori", "--time_bins", "4",
+        "--num_frame_per_period", "8", "--num_frame_per_blurry", "5",
+        "--num_period_per_seq", "1", "--sliding_window_seq", "1",
+        "--num_period_per_load", "1", "--sliding_window_load", "1",
+        "--exposure_method", "Fixed", "--noise_enabled",
+    ]
+    outs = {}
+    for tag, extra in (("w0", []), ("w2", ["--workers", "2"])):
+        out = tmp_path / f"out_{tag}"
+        infer_main(flags + ["--output_path", str(out)] + extra)
+        outs[tag] = out
+
+    import yaml
+
+    r0 = yaml.safe_load((outs["w0"] / "inference_all.yml").read_text())
+    r2 = yaml.safe_load((outs["w2"] / "inference_all.yml").read_text())
+    assert (
+        r0["mean results for the whole data"]
+        == r2["mean results for the whole data"]
+    )
+    d0 = outs["w0"] / "testclip.h5" / "img" / "restored_frame"
+    d2 = outs["w2"] / "testclip.h5" / "img" / "restored_frame"
+    names0 = sorted(p.name for p in d0.glob("*.png"))
+    names2 = sorted(p.name for p in d2.glob("*.png"))
+    assert names0 == names2 and names0
+    for n in names0:
+        assert (d0 / n).read_bytes() == (d2 / n).read_bytes(), n

@@ -2,8 +2,16 @@
 shape.  Same scan-based methodology as tools/profile_train.py, minus the
 per-config cost-analysis compile (FLOPs come from tools/train_flops.py).
 
-    python tools/train_ablate.py
+    python tools/train_ablate.py [--ablate base]
+
+--ablate legs (comma-separated) split the 20.23 ms recipe step
+(B=8 128x128, bf16, FastVariants) into its cost constituents:
+  base        full phase-1 loss (Lap+census on both heads) — the headline
+  lap_only    census replaced by 0 (its VPU neighborhood compares ablated)
+  census_only Laplacian replaced by 0
+  mean_loss   loss = mean(sharp)+mean(final): model fwd+bwd only
 """
+import argparse
 import os
 import sys
 import time
@@ -14,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ablate", type=str, default=None,
+                    help="comma-separated loss-ablation legs at the recipe "
+                         "shape (base, lap_only, census_only, mean_loss)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -31,13 +45,21 @@ def main():
     )
     rng = np.random.default_rng(0)
 
-    def measure(B, H, W, reps, label, grad=True):
+    def measure(B, H, W, reps, label, grad=True, loss_mode="base"):
         frame = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
         event = jnp.asarray(rng.standard_normal((B, H, W, 32)).astype(np.float32))
         t = jnp.asarray(rng.uniform(0, 1, (B, 1)).astype(np.float32))
         target = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32))
         params = model.init(jax.random.key(0), frame[:, :64, :64],
                             event[:, :64, :64], t)
+
+        zero = lambda pred, tgt: jnp.float32(0.0)
+        lap_t, cen_t = {
+            "base": (laplacian_loss, census_loss),
+            "lap_only": (laplacian_loss, zero),
+            "census_only": (zero, census_loss),
+            "mean_loss": (lambda p_, t_: jnp.mean(p_), zero),
+        }[loss_mode]
 
         def loss_fn(p, fr):
             cp = to_bf16(p)
@@ -46,9 +68,8 @@ def main():
             )
             final = final.astype(jnp.float32)
             sharp = sharp.astype(jnp.float32)
-            return (laplacian_loss(final, target) + census_loss(final, target)
-                    ) * 0.1 + (laplacian_loss(sharp, target)
-                               + census_loss(sharp, target))
+            return (lap_t(final, target) + cen_t(final, target)
+                    ) * 0.1 + (lap_t(sharp, target) + cen_t(sharp, target))
 
         def one(fr):
             if grad:
@@ -88,6 +109,10 @@ def main():
         print(f"{label:34s} B={B} {H}x{W}: {best*1e3:7.2f} ms/step "
               f"({B/best:7.1f} samples/s)", flush=True)
 
+    if args.ablate:
+        for leg in args.ablate.split(","):
+            measure(8, 128, 128, 10, f"fwd+bwd loss={leg}", loss_mode=leg)
+        return
     measure(32, 128, 128, 8, "flagship fwd+bwd")
     measure(8, 128, 128, 10, "flagship fwd only", grad=False)
 
