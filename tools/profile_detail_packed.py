@@ -57,24 +57,26 @@ def timed_scan(fn, *args, reps=10):
     import jax.numpy as jnp
     from jax import lax
 
-    def body(c, _):
-        # non-zero negligible coupling (advisor round-4: don't rely on
-        # mul-by-zero not being folded)
-        pert = lambda a: a + (c * 1e-30).astype(a.dtype)
-        out = fn(*jax.tree.map(pert, args))
-        leaf = jax.tree.leaves(out)[0]
-        return (leaf.ravel()[0].astype(jnp.float32) * 1e-30 + c * 0.5), None
-
+    # inputs ride as jit ARGUMENTS, not closures — closed-over arrays embed
+    # as HLO constants and blow the remote-compile tunnel's body limit
     @jax.jit
-    def run():
+    def run(*xs):
+        def body(c, _):
+            # non-zero negligible coupling (advisor round-4: don't rely on
+            # mul-by-zero not being folded)
+            pert = lambda a: a + (c * 1e-30).astype(a.dtype)
+            out = fn(*jax.tree.map(pert, xs))
+            leaf = jax.tree.leaves(out)[0]
+            return (leaf.ravel()[0].astype(jnp.float32) * 1e-30 + c * 0.5), None
+
         c, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c
 
-    float(run())  # compile + warm
+    float(run(*args))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run())
+        float(run(*args))
         best = min(best, time.perf_counter() - t0)
     return max(best - _SYNC_FLOOR[0], 0.0) / reps
 

@@ -46,6 +46,39 @@ def timed(fn, *args, iters=10, warmup=2):
     return max((time.perf_counter() - t0) / iters - _SYNC_FLOOR[0], 0.0)
 
 
+def timed_scan(fn, tr, h, t_, reps=8):
+    """Pure device time: REPS serial evaluations in ONE program — the
+    per-step timestamp column depends on the carry so XLA can neither
+    hoist nor overlap the body; one sync, floor subtracted once.  Immune
+    to the tunnel's per-dispatch dead time (which inflates per-call
+    timings by ~20-30%% at these sizes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    # inputs as jit ARGUMENTS (closures embed as HLO constants and can
+    # exceed the remote-compile tunnel's request-body limit)
+    @jax.jit
+    def run(tr_, h_, tc_):
+        def body(c, _):
+            out = fn(tr_, h_, tc_ + (c * 1e-30).astype(tc_.dtype))
+            # consume EVERY output leaf — a carry fed by only the first
+            # leaf lets XLA dead-code-eliminate the rest of the prefix
+            # (the round-5 'full faster than final_only' artifact)
+            s = sum(o.ravel()[0].astype(jnp.float32) for o in jax.tree.leaves(out))
+            return (s * 1e-30 + c * 0.5), None
+
+        return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]
+
+    float(run(tr, h, t_))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(tr, h, t_))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - _SYNC_FLOOR[0], 0.0) / reps
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=8)
@@ -57,6 +90,9 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated prefix subset (saves tunnel "
                          "compiles when bisecting one stage)")
+    ap.add_argument("--scan", action="store_true",
+                    help="time each prefix as a REPS-loop in one jit "
+                         "(pure device time; hoist mode only)")
     args = ap.parse_args()
 
     import jax
@@ -142,18 +178,29 @@ def main():
                     return model.apply(
                         cp, tr, h, t_, method=EVFIAutoEx.from_timestamp_shared
                     )[1]
+                if which == "fts_nod":
+                    # production path minus the detail branch: fts - fts_nod
+                    # is the TRUE in-graph detail cost (the 'final_only'
+                    # body approximates detail with unpacked io)
+                    m2 = model.clone(detail_enabled=False)
+                    return m2.apply(
+                        cp, tr, h, t_, method=EVFIAutoEx.from_timestamp_shared
+                    )[1]
                 return model.apply(cp, tr, h, t_, method=body)
             return jax.jit(run)
 
         results = {}
-        names = ("rc", "mod", "recon", "final_only", "full", "fts")
+        names = ("rc", "mod", "recon", "final_only", "full", "fts", "fts_nod")
         if args.only:
             names = tuple(n for n in names if n in args.only.split(","))
         for which in names:
             fn = prefix(which)
             comp = fn.lower(trunk, hoisted, tcol).compile()
             fl = float(comp.cost_analysis().get("flops", float("nan")))
-            t = timed(fn, trunk, hoisted, tcol)
+            if args.scan:
+                t = timed_scan(fn, trunk, hoisted, tcol)
+            else:
+                t = timed(fn, trunk, hoisted, tcol)
             results[which] = (t, fl)
             print(f"prefix {which:10s}: {t*1e3:8.2f} ms = {t/CH*1e3:6.2f} ms/frame "
                   f"| {fl/1e12:7.3f} TFLOP ({fl/CH/1e12:6.3f}/frame) | {fl/t/1e12:6.1f} TF/s")
