@@ -38,6 +38,10 @@ from ..kernel_conv2d import kernel_conv2d as _xla_fac
 import os as _os
 
 _TAP_GROUP = int(_os.environ.get("EBFI_MODFAC_TAPG", "4"))
+# Shared-kernel row-band height (rows per grid step).  Larger bands make
+# bigger MXU dots (M = TH*W) and fewer DMA round-trips at the cost of
+# VMEM scratch (ffdot is TH*W*K*K*C of the input dtype).
+_BAND_TH = int(_os.environ.get("EBFI_MODFAC_TH", "2"))
 
 
 def _lrelu(x):
@@ -218,8 +222,9 @@ def _kernel_shared(
     if PACKED:
         # rows2-standard packing: band rows become channel halves — the
         # consumer's row-packed convs start from this layout for free
-        o_ref[0, 0, :, :C] = acc[0].astype(o_ref.dtype)
-        o_ref[0, 0, :, C:] = acc[1].astype(o_ref.dtype)
+        for r in range(TH // 2):
+            o_ref[0, r, :, :C] = acc[2 * r].astype(o_ref.dtype)
+            o_ref[0, r, :, C:] = acc[2 * r + 1].astype(o_ref.dtype)
     else:
         o_ref[0] = acc[...].astype(o_ref.dtype)
 
@@ -262,14 +267,14 @@ def _forward_shared(
     bias = jnp.zeros((32, C), jnp.float32)
     bias = bias.at[: K * K].set(bk.reshape(K * K, C).astype(jnp.float32))
 
-    TH = 2 if H % 2 == 0 else 1
-    if packed_rows2 and TH != 2:
-        raise ValueError("packed_rows2 requires even H")
+    TH = _BAND_TH if H % _BAND_TH == 0 else (2 if H % 2 == 0 else 1)
+    if packed_rows2 and TH % 2:
+        raise ValueError("packed_rows2 requires even TH (even H)")
     interpret = jax.default_backend() not in ("tpu", "axon")
     if packed_rows2:
         out_shape = jax.ShapeDtypeStruct((BN, H // 2, W, 2 * C), dt)
         out_spec = pl.BlockSpec(
-            (1, 1, W, 2 * C), lambda b, i, n: (b * N + n, i, 0, 0),
+            (1, TH // 2, W, 2 * C), lambda b, i, n: (b * N + n, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:

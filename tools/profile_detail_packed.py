@@ -66,8 +66,9 @@ def timed_scan(fn, *args, reps=10):
             # mul-by-zero not being folded)
             pert = lambda a: a + (c * 1e-30).astype(a.dtype)
             out = fn(*jax.tree.map(pert, xs))
-            leaf = jax.tree.leaves(out)[0]
-            return (leaf.ravel()[0].astype(jnp.float32) * 1e-30 + c * 0.5), None
+            # FULL reduction carry: element slices let XLA narrow or DCE
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
+            return (s * 1e-30 + c * 0.5), None
 
         c, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
         return c

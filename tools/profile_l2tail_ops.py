@@ -32,8 +32,8 @@ def timed_scan(fn, *args, reps=10):
         def body(c, _):
             pert = lambda a: a + (c * 1e-30).astype(a.dtype)
             out = fn(*jax.tree.map(pert, xs))
-            leaf = jax.tree.leaves(out)[0]
-            return (leaf.ravel()[0].astype(jnp.float32) * 1e-30 + c * 0.5), None
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
+            return (s * 1e-30 + c * 0.5), None
 
         return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]
 
@@ -127,7 +127,9 @@ def main():
     report("reflect-pad blocks4 (materialize)",
            lambda t: _reflect_pad_blocks4(t, C), fused)
 
-    w7 = jnp.asarray(rng.standard_normal((7, 7, 2 * C, 3)) * 0.05, bf)
+    # the head consumes the fuse output: C=16 per phase group -> the l2
+    # weight is (3, 3, 16*16=256, 48)
+    w7 = jnp.asarray(rng.standard_normal((7, 7, C, 3)) * 0.05, bf)
 
     def head(t, w):
         w4 = _head_weight_l2(w)

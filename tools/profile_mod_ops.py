@@ -32,7 +32,10 @@ def timed_scan(fn, *args, reps=8):
         def body(c, _):
             pert = lambda a: a + (c * 1e-30).astype(a.dtype)
             out = fn(*jax.tree.map(pert, xs))
-            s = sum(o.ravel()[0].astype(jnp.float32) for o in jax.tree.leaves(out))
+            # FULL reduction: an element-slice carry lets XLA narrow the
+            # body's convs to a one-pixel window (measured >8x-peak
+            # artifact rates)
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
             return (s * 1e-30 + c * 0.5), None
 
         return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]

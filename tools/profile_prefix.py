@@ -62,10 +62,11 @@ def timed_scan(fn, tr, h, t_, reps=8):
     def run(tr_, h_, tc_):
         def body(c, _):
             out = fn(tr_, h_, tc_ + (c * 1e-30).astype(tc_.dtype))
-            # consume EVERY output leaf — a carry fed by only the first
-            # leaf lets XLA dead-code-eliminate the rest of the prefix
-            # (the round-5 'full faster than final_only' artifact)
-            s = sum(o.ravel()[0].astype(jnp.float32) for o in jax.tree.leaves(out))
+            # consume EVERY output leaf via a FULL reduction — a carry
+            # fed by one element lets XLA dead-code-eliminate sibling
+            # outputs (the 'full faster than final_only' artifact) or even
+            # narrow pure-conv bodies to a one-pixel window
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out))
             return (s * 1e-30 + c * 0.5), None
 
         return lax.scan(body, jnp.float32(0.0), None, length=reps)[0]
