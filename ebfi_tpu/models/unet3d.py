@@ -851,18 +851,16 @@ class UNet3d18(nn.Module):
         gate = nn.sigmoid(pooled @ gk + gb)
         dout = lrelu(y * jnp.tile(gate, (1, 32))[:, None, None, :])
 
-        # 1x1 fuse: (t)(co) 2C->C per phase group.  As a dense block-
-        # diagonal matmul (kron(I16, fk)) this burns 16x the reference
-        # FLOPs (15.2 of the l2 tail's 88.6 GFLOP/frame were structural
-        # zeros); a grouped 1x1 conv (feature_group_count=16, every group
-        # sharing fk) does only the real work.
+        # 1x1 fuse: (t)(co) 2C->C per phase group -> block-diagonal matmul.
+        # kron(I16, fk) carries 16x the reference FLOPs as structural
+        # zeros, but the MXU runs the dense 512x256 matmul at ~full rate
+        # (measured <=0.2 ms/frame); the grouped-conv alternative
+        # (feature_group_count=16) looked FLOP-optimal and measured 1.30
+        # ms/frame — XLA:TPU lowers many-group 1x1 convs pathologically
+        # (tools/profile_l2tail_ops.py, round 5).  Keep the dense form.
         fk = fuse.variables["params"]["kernel"][0, 0].astype(dt)  # (2C, C)
-        wg = jnp.tile(fk, (1, 16))[None, None]  # (1, 1, 2C, 16*C)
-        fused = lrelu(lax.conv_general_dilated(
-            dout, wg, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=16,
-        ))  # (B, hb, wb, 16*cout)
+        wblk = jnp.kron(jnp.eye(16, dtype=dt), fk)  # (16*2C, 16*C)
+        fused = lrelu(dout @ wblk)  # (B, hb, wb, 16*cout)
 
         ov = outconv.variables["params"]
         w4 = _head_weight_l2(ov["kernel"].astype(dt))  # (3, 3, 16C, 48)
