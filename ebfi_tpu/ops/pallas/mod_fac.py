@@ -283,9 +283,18 @@ def _forward_shared(
             (1, TH, W, C), lambda b, i, n: (b * N + n, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
+    # Mosaic's default scoped-VMEM limit is 16 MB — far below v5e's 128 MB
+    # physical VMEM.  The band scratches (ffdot is TH*W*K*K*C of the input
+    # dtype) exceed it for TH>2; raise the ceiling so larger bands (fewer,
+    # bigger MXU dots; less DMA per byte) are available.
+    try:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20)
+    except TypeError:  # older pallas: TPUCompilerParams name
+        cparams = pltpu.TPUCompilerParams(vmem_limit_bytes=96 * 2**20)
     return pl.pallas_call(
         partial(_kernel_shared, K=K, TH=TH, W=W, C=C, N=N, PACKED=packed_rows2),
         out_shape=out_shape,
+        compiler_params=cparams,
         grid=(B, H // TH, N),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),

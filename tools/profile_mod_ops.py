@@ -79,9 +79,9 @@ def main():
     print(f"sync floor {_FLOOR[0]*1e3:.1f} ms, chunk={CH}", flush=True)
 
     def report(name, fn, *xs, tflop_f=None):
-        if args.only and not any(s in name for s in args.only.split(",")):
-            return None
         jfn = jax.jit(fn)
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return jfn(*xs)  # downstream stages still need the value
         comp = jfn.lower(*xs).compile()
         fl = float(comp.cost_analysis().get("flops", float("nan")))
         t = timed_scan(fn, *xs)
