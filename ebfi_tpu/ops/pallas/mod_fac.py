@@ -147,7 +147,7 @@ def _forward(ev: jax.Array, ff: jax.Array, wk: jax.Array, bk: jax.Array, K: int)
 
 def _kernel_shared(
     evz_hbm, evr_hbm, ffz_hbm, wke_ref, wkf_ref, bias_ref, o_ref,
-    evzbuf, evrbuf, ffbuf, imcol, ffdot, acc, sem_z, sem_r, sem_f,
+    evzbuf, evrbuf, ffbuf, imcol, ffdot, evf32, acc, sem_z, sem_r, sem_f,
     *, K, TH, W, C, N, PACKED=False,
 ):
     """Grid (B, H/TH, N), n fastest.  The frame-feature half of the bank
@@ -188,12 +188,17 @@ def _kernel_shared(
                     dy : dy + TH, dx : dx + W, :C
                 ]
         xf = imcol[...].reshape(TH * W, 9 * C)
-        # column groups of 2C keep the f32 dot temporaries small
+        # column groups of 2C keep the f32 dot temporaries small.  The
+        # bank bias folds in here (pre-activation), once per band instead
+        # of 25 per-tap adds on every grid step — it rides the band
+        # scratch's dtype with the ff half (input-dtype rounding, same
+        # semantics the scratch already documents)
         for g in range(KK // 2 + 1):
             c0 = g * 2 * C
             nc = min(2 * C, KK * C - c0)
+            bsl = bias_ref[:, c0 : c0 + nc]
             d = jnp.dot(xf, wkf_ref[:, c0 : c0 + nc], preferred_element_type=jnp.float32)
-            ffdot[:, :, c0 : c0 + nc] = d.astype(ffdot.dtype).reshape(TH, W, nc)
+            ffdot[:, :, c0 : c0 + nc] = (d + bsl).astype(ffdot.dtype).reshape(TH, W, nc)
 
     cpz.wait()
     for dy in range(3):
@@ -203,22 +208,44 @@ def _kernel_shared(
             ]
     x2 = imcol[...].reshape(TH * W, 9 * C)
     cpr.wait()
+    # the FAC apply reads every tap's event slice in f32: cast the band
+    # once (one pass) instead of 25 overlapping per-tap slice casts
+    evf32[...] = evrbuf[...].astype(jnp.float32)
 
     G = _TAP_GROUP
-    for g in range(-(-KK // G)):
+    R = -(-KK // G)
+
+    def dotg(g):
         t0 = g * G
         nc = min(G, KK - t0) * C
-        d = jnp.dot(
+        return jnp.dot(
             x2, wke_ref[:, t0 * C : t0 * C + nc], preferred_element_type=jnp.float32
         ).reshape(TH, W, nc) + ffdot[:, :, t0 * C : t0 * C + nc].astype(jnp.float32)
+
+    def fac(g, d):
+        t0 = g * G
         for t in range(t0, min(t0 + G, KK)):
-            kern = _lrelu(d[:, :, (t - t0) * C : (t - t0 + 1) * C] + bias_ref[t, :])
+            # bias already folded into ffdot (once per band, at n == 0)
+            kern = _lrelu(d[:, :, (t - t0) * C : (t - t0 + 1) * C])
             ky, kx = t // K, t % K
-            ev_tap = evrbuf[ky : ky + TH, kx : kx + W, :C].astype(jnp.float32)
+            ev_tap = evf32[ky : ky + TH, kx : kx + W, :C]
             if t == 0:
                 acc[...] = ev_tap * kern
             else:
                 acc[...] += ev_tap * kern
+
+    # software-pipelined: round g+1's MXU dot is issued before round g's
+    # VPU tail (lrelu + FAC multiply-accumulate) so the scheduler may
+    # overlap MXU and VPU work.  Measured NEUTRAL vs the serial order
+    # (4.10 vs 4.07 ms/frame at 360x640x64/N=16) — as are the f32 band
+    # precast and the bias fold — i.e. the VPU tail was already hidden
+    # and the kernel runs at the MXU's achieved rate for its dot shape.
+    d_prev = dotg(0)
+    for g in range(1, R):
+        d_cur = dotg(g)
+        fac(g - 1, d_prev)
+        d_prev = d_cur
+    fac(R - 1, d_prev)
     if PACKED:
         # rows2-standard packing: band rows become channel halves — the
         # consumer's row-packed convs start from this layout for free
@@ -264,8 +291,9 @@ def _forward_shared(
 
     wke = wk[:, :, :C, :].reshape(9 * C, K * K * C).astype(dt)
     wkf = wk[:, :, C:, :].reshape(9 * C, K * K * C).astype(dt)
-    bias = jnp.zeros((32, C), jnp.float32)
-    bias = bias.at[: K * K].set(bk.reshape(K * K, C).astype(jnp.float32))
+    # flat (1, K*K*C) f32 bias: tap-group slices land 128-lane-aligned for
+    # the fold into ffdot (no in-kernel reshape)
+    bias = bk.reshape(1, K * K * C).astype(jnp.float32)
 
     TH = _BAND_TH if H % _BAND_TH == 0 else (2 if H % 2 == 0 else 1)
     if packed_rows2 and TH % 2:
@@ -311,6 +339,7 @@ def _forward_shared(
             pltpu.VMEM((TH + 2, wpc, c128), dt),
             pltpu.VMEM((TH, W, 9 * C), dt),
             pltpu.VMEM((TH, W, K * K * C), dt),
+            pltpu.VMEM((TH + K - 1, wpe, c128), jnp.float32),
             pltpu.VMEM((TH, W, C), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
